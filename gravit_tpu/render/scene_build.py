@@ -1,0 +1,165 @@
+"""Compile host-side scene description into the device-resident SceneData.
+
+The analog of GraviT's tracer Initialize() (algorithm/TracerBase.h:247-308),
+which walks the context DB into meshRef/instM/instMinv/instMinvN maps + the
+instance BVH. Here everything flattens into jnp arrays: all meshes
+concatenate into one triangle soup (per-triangle mesh id keeps per-instance
+"queues" separable inside one kernel pass); instances are SoA transform
+tables; lights a fixed bundle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gravit_tpu.core import math3d
+from gravit_tpu.scene.light import Light, LightBundle, bundle_lights
+from gravit_tpu.scene.mesh import CompiledMesh
+
+
+@struct.dataclass
+class SceneData:
+    """Device-side scene; leaves are jnp arrays (differentiable leaves where
+    it makes sense: triangle geometry, normals, materials, light params)."""
+
+    # triangle soup over all meshes
+    tri_v0: jax.Array        # (T, 3)
+    tri_e1: jax.Array        # (T, 3)
+    tri_e2: jax.Array        # (T, 3)
+    tri_ng: jax.Array        # (T, 3) unit geometric normal
+    tri_ns: jax.Array        # (T, 3, 3) per-corner shading normals
+    tri_vcol: jax.Array      # (T, 3, 3) per-corner colors (1.0 if unused)
+    tri_has_vcol: jax.Array  # (T,) bool
+    tri_mesh: jax.Array      # (T,) i32
+    tri_mat_type: jax.Array  # (T,) i32
+    tri_kd: jax.Array        # (T, 3)
+    tri_ks: jax.Array        # (T, 3)
+    tri_alpha: jax.Array     # (T,)
+
+    # instances
+    inst_mesh: jax.Array     # (I,) i32
+    inst_lo: jax.Array       # (I, 3) world bbox (corner-transform, api.cpp:307-312)
+    inst_hi: jax.Array       # (I, 3)
+    inst_m: jax.Array        # (I, 4, 4)
+    inst_minv: jax.Array     # (I, 4, 4)
+    inst_normi: jax.Array    # (I, 3, 3)
+
+    lights_kind: jax.Array   # (L,) i32
+    lights_pos: jax.Array    # (L, 3)
+    lights_color: jax.Array  # (L, 3)
+    lights_u: jax.Array      # (L, 3)
+    lights_w: jax.Array      # (L, 3)
+    lights_wh: jax.Array     # (L, 2)
+
+    # static metadata
+    num_instances: int = struct.field(pytree_node=False, default=0)
+    num_lights: int = struct.field(pytree_node=False, default=0)
+    num_meshes: int = struct.field(pytree_node=False, default=0)
+    mesh_tri_offset: tuple = struct.field(pytree_node=False, default=())
+    mesh_tri_count: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+
+@dataclasses.dataclass
+class Instance:
+    mesh_id: int
+    m: np.ndarray  # (4, 4) row-major world transform
+
+
+def build_scene(meshes: Sequence[CompiledMesh],
+                instances: Sequence[Instance],
+                lights: Sequence[Light],
+                pad_tris_to: Optional[int] = None) -> SceneData:
+    offsets, counts = [], []
+    off = 0
+    for m in meshes:
+        offsets.append(off)
+        counts.append(m.num_triangles)
+        off += m.num_triangles
+
+    cat = lambda parts: np.concatenate(parts, axis=0)
+    tri_v0 = cat([m.v0 for m in meshes])
+    tri_e1 = cat([m.e1 for m in meshes])
+    tri_e2 = cat([m.e2 for m in meshes])
+    tri_ng = cat([m.geom_normal for m in meshes])
+    tri_ns = cat([m.shading_normals for m in meshes])
+    tri_vcol = cat([
+        m.vertex_colors if m.vertex_colors is not None
+        else np.ones((m.num_triangles, 3, 3), np.float32)
+        for m in meshes
+    ])
+    tri_has_vcol = cat([
+        np.full((m.num_triangles,), m.vertex_colors is not None)
+        for m in meshes
+    ])
+    tri_mesh = cat([
+        np.full((m.num_triangles,), i, np.int32) for i, m in enumerate(meshes)
+    ])
+    tri_mat_type = cat([m.mat_type for m in meshes])
+    tri_kd = cat([m.mat_kd for m in meshes])
+    tri_ks = cat([m.mat_ks for m in meshes])
+    tri_alpha = cat([m.mat_alpha for m in meshes])
+
+    t = tri_v0.shape[0]
+    if pad_tris_to is not None and pad_tris_to > t:
+        pad = pad_tris_to - t
+        padz = lambda a: np.concatenate(
+            [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        tri_v0, tri_e1, tri_e2 = padz(tri_v0), padz(tri_e1), padz(tri_e2)
+        tri_ng, tri_ns, tri_vcol = padz(tri_ng), padz(tri_ns), padz(tri_vcol)
+        tri_has_vcol = np.concatenate([tri_has_vcol, np.zeros((pad,), bool)])
+        tri_mesh = np.concatenate([tri_mesh, np.full((pad,), -2, np.int32)])
+        tri_mat_type = padz(tri_mat_type)
+        tri_kd, tri_ks, tri_alpha = padz(tri_kd), padz(tri_ks), padz(tri_alpha)
+
+    n_inst = len(instances)
+    inst_mesh = np.array([i.mesh_id for i in instances], np.int32)
+    inst_m = np.stack([np.asarray(i.m, np.float32) for i in instances])
+    inst_minv = np.stack([np.linalg.inv(m).astype(np.float32) for m in inst_m])
+    inst_normi = np.stack([math3d.normal_matrix(m) for m in inst_m])
+    # world bbox by transforming the two mesh-bbox corners, exactly as
+    # api.cpp:307-312 (NOT a conservative 8-corner transform; parity quirk)
+    lo, hi = [], []
+    for i in instances:
+        msh = meshes[i.mesh_id]
+        m = np.asarray(i.m, np.float32)
+        il = m[:3, :3] @ msh.bounds_min + m[:3, 3]
+        ih = m[:3, :3] @ msh.bounds_max + m[:3, 3]
+        lo.append(np.minimum(il, ih))
+        hi.append(np.maximum(il, ih))
+    inst_lo = np.stack(lo) if lo else np.zeros((0, 3), np.float32)
+    inst_hi = np.stack(hi) if hi else np.zeros((0, 3), np.float32)
+
+    lb: LightBundle = bundle_lights(list(lights))
+
+    return SceneData(
+        tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
+        tri_e2=jnp.asarray(tri_e2), tri_ng=jnp.asarray(tri_ng),
+        tri_ns=jnp.asarray(tri_ns), tri_vcol=jnp.asarray(tri_vcol),
+        tri_has_vcol=jnp.asarray(tri_has_vcol),
+        tri_mesh=jnp.asarray(tri_mesh),
+        tri_mat_type=jnp.asarray(tri_mat_type), tri_kd=jnp.asarray(tri_kd),
+        tri_ks=jnp.asarray(tri_ks), tri_alpha=jnp.asarray(tri_alpha),
+        inst_mesh=jnp.asarray(inst_mesh),
+        inst_lo=jnp.asarray(inst_lo), inst_hi=jnp.asarray(inst_hi),
+        inst_m=jnp.asarray(inst_m), inst_minv=jnp.asarray(inst_minv),
+        inst_normi=jnp.asarray(inst_normi),
+        lights_kind=jnp.asarray(lb.kind), lights_pos=jnp.asarray(lb.position),
+        lights_color=jnp.asarray(lb.color), lights_u=jnp.asarray(lb.u),
+        lights_w=jnp.asarray(lb.w),
+        lights_wh=jnp.asarray(np.stack([lb.width, lb.height], axis=-1)),
+        num_instances=n_inst,
+        num_lights=lb.count,
+        num_meshes=len(meshes),
+        mesh_tri_offset=tuple(offsets),
+        mesh_tri_count=tuple(counts),
+    )
