@@ -35,7 +35,9 @@ RAY_EPSILON = 1e-6
 
 
 def _choose_tile(num_tris: int) -> int:
-    return max(128, min(2048, -(-num_tris // 128) * 128))
+    # small tri tiles keep the (rays x tris) broadcast temporaries in the
+    # hundreds of MB; the Pallas BVH kernel replaces this path for large meshes
+    return max(128, min(256, -(-num_tris // 128) * 128))
 
 
 def _gather_inst(scene: SceneData, inst: jax.Array):
