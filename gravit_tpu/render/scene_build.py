@@ -28,6 +28,12 @@ class SceneData:
     """Device-side scene; leaves are jnp arrays (differentiable leaves where
     it makes sense: triangle geometry, normals, materials, light params)."""
 
+    # differentiable source geometry: concatenated vertex buffer + global
+    # face indices; refresh_geometry() re-derives the triangle soup from
+    # these so gradients flow to VERTICES (the north-star capability)
+    vertices: jax.Array      # (V, 3)
+    faces: jax.Array         # (T, 3) int32 into `vertices`
+
     # triangle soup over all meshes
     tri_v0: jax.Array        # (T, 3)
     tri_e1: jax.Array        # (T, 3)
@@ -87,6 +93,22 @@ def build_scene(meshes: Sequence[CompiledMesh],
         off += m.num_triangles
 
     cat = lambda parts: np.concatenate(parts, axis=0)
+    # global vertex buffer + offset faces (for vertex-level autodiff)
+    vert_parts, face_parts = [], []
+    voff = 0
+    for m in meshes:
+        verts = np.zeros((m.num_vertices, 3), np.float32)
+        # recover vertex positions from (v0, e1, e2): v0 at corner0 etc.
+        verts[m.faces[:, 0]] = m.v0
+        verts[m.faces[:, 1]] = m.v0 + m.e1
+        verts[m.faces[:, 2]] = m.v0 + m.e2
+        vert_parts.append(verts)
+        face_parts.append(m.faces + voff)
+        voff += m.num_vertices
+    vertices = cat(vert_parts) if vert_parts else np.zeros((0, 3), np.float32)
+    faces = cat(face_parts).astype(np.int32) if face_parts else np.zeros(
+        (0, 3), np.int32)
+
     tri_v0 = cat([m.v0 for m in meshes])
     tri_e1 = cat([m.e1 for m in meshes])
     tri_e2 = cat([m.e2 for m in meshes])
@@ -120,6 +142,7 @@ def build_scene(meshes: Sequence[CompiledMesh],
         tri_mesh = np.concatenate([tri_mesh, np.full((pad,), -2, np.int32)])
         tri_mat_type = padz(tri_mat_type)
         tri_kd, tri_ks, tri_alpha = padz(tri_kd), padz(tri_ks), padz(tri_alpha)
+        faces = np.concatenate([faces, np.zeros((pad, 3), np.int32)])
 
     n_inst = len(instances)
     inst_mesh = np.array([i.mesh_id for i in instances], np.int32)
@@ -142,6 +165,7 @@ def build_scene(meshes: Sequence[CompiledMesh],
     lb: LightBundle = bundle_lights(list(lights))
 
     return SceneData(
+        vertices=jnp.asarray(vertices), faces=jnp.asarray(faces),
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2), tri_ng=jnp.asarray(tri_ng),
         tri_ns=jnp.asarray(tri_ns), tri_vcol=jnp.asarray(tri_vcol),
@@ -162,4 +186,29 @@ def build_scene(meshes: Sequence[CompiledMesh],
         num_meshes=len(meshes),
         mesh_tri_offset=tuple(offsets),
         mesh_tri_count=tuple(counts),
+    )
+
+
+def refresh_geometry(scene: SceneData, vertices: jax.Array) -> SceneData:
+    """Re-derive the triangle soup from a (possibly updated) vertex buffer.
+
+    Differentiable: gradients of rendered pixels wrt `vertices` flow through
+    (v0, e1, e2), geometric normals, and the generateNormals()-style
+    area-weighted vertex-normal accumulation (Mesh.cpp:116-155). Call inside
+    a training step with `vertices` as the parameter.
+    """
+    f = scene.faces
+    v0 = vertices[f[:, 0]]
+    e1 = vertices[f[:, 1]] - v0
+    e2 = vertices[f[:, 2]] - v0
+    ng = jnp.cross(e1, e2)
+    fn = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-30)
+    vn = jnp.zeros_like(vertices)
+    for k in range(3):
+        vn = vn.at[f[:, k]].add(fn)
+    vn = vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-30)
+    tri_ns = jnp.stack([vn[f[:, 0]], vn[f[:, 1]], vn[f[:, 2]]], axis=1)
+    return scene.replace(
+        vertices=vertices, tri_v0=v0, tri_e1=e1, tri_e2=e2,
+        tri_ng=fn, tri_ns=tri_ns,
     )

@@ -29,7 +29,12 @@ def local_add(fb: jnp.ndarray, pixel_id, color, alpha, mask) -> jnp.ndarray:
     pix = jnp.where(mask, pixel_id, fb.shape[0])  # out-of-range lanes dropped
     rgba = jnp.concatenate([color, alpha[:, None]], axis=-1)
     fb = fb.at[pix].add(rgba, mode="drop")
-    return fb.at[:, :3].min(1.0)
+    return clamp_rgb(fb)
+
+
+def clamp_rgb(fb: jnp.ndarray) -> jnp.ndarray:
+    """Clamp rgb channels at 1.0 (elementwise, autodiff-friendly)."""
+    return jnp.concatenate([jnp.minimum(fb[:, :3], 1.0), fb[:, 3:]], axis=-1)
 
 
 def composite(fb: jnp.ndarray, axis_name=None) -> jnp.ndarray:
@@ -43,7 +48,7 @@ def composite(fb: jnp.ndarray, axis_name=None) -> jnp.ndarray:
         import jax
 
         fb = jax.lax.psum(fb, axis_name)
-    return fb.at[:, :3].min(1.0)
+    return clamp_rgb(fb)
 
 
 def to_rgb8(fb: np.ndarray, width: int, height: int) -> np.ndarray:
