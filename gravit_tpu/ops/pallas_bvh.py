@@ -1,0 +1,239 @@
+"""Pallas TPU kernel: packet BVH traversal + Möller-Trumbore leaf tests.
+
+The speed-of-light replacement for the jnp brute-force intersector — the
+TPU re-design of the Embree packet loop (EmbreeMeshAdapter.cpp:436-622).
+GraviT traces 4/8/16-ray SIMD packets; here a *block* of PACKET=512 rays
+(shaped (4, 128) for the VPU) traverses the BVH together with one shared
+scalar stack in SMEM: every node's slab test is a 512-lane vector op, and a
+block descends iff ANY live lane hits (classic packet traversal, scaled to
+VPU width). Leaf triangles are tested 8-at-a-time against 128-lane row
+chunks as (8, 128) vector MT.
+
+Rays must be pre-sorted so each block addresses ONE mesh; the per-block BVH
+root arrives via scalar prefetch (block_root[i] == -1 skips the block).
+Triangle/node tables are mesh-concatenated and live in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PACKET = 1024         # rays per block (8 x 128 VPU tile)
+SUB = PACKET // 128   # sublane rows per ray field block
+STACK_DEPTH = 96
+LEAF_PAD = 8          # leaf triangle slices are read 8 rows at a time
+FLT_MAX = float(jnp.finfo(jnp.float32).max)
+BIG = 1e30
+
+
+def _traverse_kernel(block_root, ox, oy, oz, dx, dy, dz, valid,
+                     bounds, meta, tri,
+                     t_out, prim_out, u_out, v_out,
+                     stack):
+    """One grid step = one PACKET-ray block."""
+    i = pl.program_id(0)
+    root = block_root[i]
+
+    o = (ox[...], oy[...], oz[...])
+    d = (dx[...], dy[...], dz[...])
+    live0 = valid[...] > 0
+
+    def safe_inv(x):
+        return jnp.where(jnp.abs(x) < 1e-30,
+                         jnp.where(x < 0, -BIG, BIG), 1.0 / x)
+
+    inv = tuple(safe_inv(c) for c in d)
+
+    # best-hit state as per-row tuples: Mosaic has no scatter, so row
+    # updates must be carry rebinds, not .at[].set
+    t_best = tuple(jnp.full((1, 128), FLT_MAX, jnp.float32)
+                   for _ in range(SUB))
+    prim = tuple(jnp.full((1, 128), -1, jnp.int32) for _ in range(SUB))
+    uu = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(SUB))
+    vv = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(SUB))
+
+    def body(carry):
+        sp, t_best, prim, uu, vv = carry
+        sp = sp - 1
+        node = stack[sp]
+
+        brow = bounds[node, :]          # (8,) lo.xyz hi.xyz pad pad
+        lo = (brow[0], brow[1], brow[2])
+        hi = (brow[3], brow[4], brow[5])
+        tn = jnp.full((SUB, 128), -BIG, jnp.float32)
+        tf = jnp.full((SUB, 128), BIG, jnp.float32)
+        for ax in range(3):
+            a = (lo[ax] - o[ax]) * inv[ax]
+            b = (hi[ax] - o[ax]) * inv[ax]
+            tn = jnp.maximum(tn, jnp.minimum(a, b))
+            tf = jnp.minimum(tf, jnp.maximum(a, b))
+        t_best_all = jnp.concatenate(t_best, axis=0)
+        node_hit = live0 & (tf >= tn) & (tn < t_best_all) & (tf > 1e-6)
+        any_hit = jnp.any(node_hit)
+
+        mrow = meta[node, :]            # (4,) left/start right/count leaf axis
+        is_leaf = mrow[2] > 0
+
+        def do_leaf(t_best, prim, uu, vv):
+            start = mrow[0]
+            count = mrow[1]
+
+            def chunk_body(c, carry):
+                t_best, prim, uu, vv = carry
+                base = start + c * LEAF_PAD
+                trows = tri[pl.ds(base, LEAF_PAD), :]   # (8, 12)
+                v0x = trows[:, 0:1]
+                v0y = trows[:, 1:2]
+                v0z = trows[:, 2:3]
+                e1x = trows[:, 3:4]
+                e1y = trows[:, 4:5]
+                e1z = trows[:, 5:6]
+                e2x = trows[:, 6:7]
+                e2y = trows[:, 7:8]
+                e2z = trows[:, 8:9]
+                kidx = jax.lax.broadcasted_iota(jnp.int32, (LEAF_PAD, 1), 0)
+                krange = kidx + c * LEAF_PAD
+                kvalid = krange < count                  # (8, 1)
+
+                for rb in range(SUB):
+                    rox = o[0][rb:rb + 1, :]
+                    roy = o[1][rb:rb + 1, :]
+                    roz = o[2][rb:rb + 1, :]
+                    rdx = d[0][rb:rb + 1, :]
+                    rdy = d[1][rb:rb + 1, :]
+                    rdz = d[2][rb:rb + 1, :]
+                    # p = d x e2  -> (8,128)
+                    px = rdy * e2z - rdz * e2y
+                    py = rdz * e2x - rdx * e2z
+                    pz = rdx * e2y - rdy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    idet = jnp.where(det != 0.0, 1.0 / det, 0.0)
+                    tvx = rox - v0x
+                    tvy = roy - v0y
+                    tvz = roz - v0z
+                    u_ = (tvx * px + tvy * py + tvz * pz) * idet
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    v_ = (rdx * qx + rdy * qy + rdz * qz) * idet
+                    t_ = (e2x * qx + e2y * qy + e2z * qz) * idet
+                    ok = ((det != 0.0) & (u_ >= 0.0) & (v_ >= 0.0)
+                          & (u_ + v_ <= 1.0) & (t_ > 1e-6) & kvalid
+                          & live0[rb:rb + 1, :])
+                    t_masked = jnp.where(ok, t_, FLT_MAX)
+                    # unrolled best-hit select chain over the 8 tri rows
+                    # (gathers along sublanes don't lower on Mosaic)
+                    tb = t_best[rb]
+                    pb = prim[rb]
+                    ub = uu[rb]
+                    vb = vv[rb]
+                    for k in range(LEAF_PAD):
+                        tk = t_masked[k:k + 1, :]
+                        closer = tk < tb
+                        tb = jnp.where(closer, tk, tb)
+                        pb = jnp.where(closer, base + k, pb)
+                        ub = jnp.where(closer, u_[k:k + 1, :], ub)
+                        vb = jnp.where(closer, v_[k:k + 1, :], vb)
+                    t_best = t_best[:rb] + (tb,) + t_best[rb + 1:]
+                    prim = prim[:rb] + (pb,) + prim[rb + 1:]
+                    uu = uu[:rb] + (ub,) + uu[rb + 1:]
+                    vv = vv[:rb] + (vb,) + vv[rb + 1:]
+                return t_best, prim, uu, vv
+
+            nchunks = (count + LEAF_PAD - 1) // LEAF_PAD
+            t_best, prim, uu, vv = jax.lax.fori_loop(
+                0, nchunks, chunk_body, (t_best, prim, uu, vv))
+            return sp, t_best, prim, uu, vv
+
+        def do_inner(t_best, prim, uu, vv):
+            stack[sp] = mrow[1]       # right child
+            stack[sp + 1] = mrow[0]   # left child popped first
+            return sp + 2, t_best, prim, uu, vv
+
+        def skip(t_best, prim, uu, vv):
+            return sp, t_best, prim, uu, vv
+
+        sp2, t_best, prim, uu, vv = jax.lax.cond(
+            any_hit,
+            lambda *a: jax.lax.cond(is_leaf, do_leaf, do_inner, *a),
+            skip,
+            t_best, prim, uu, vv)
+        return sp2, t_best, prim, uu, vv
+
+    def cond(carry):
+        return carry[0] > 0
+
+    @pl.when(root >= 0)
+    def _():
+        stack[0] = root
+        _, tb, pr, ub, vb = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), t_best, prim, uu, vv))
+        t_out[...] = jnp.concatenate(tb, axis=0)
+        prim_out[...] = jnp.concatenate(pr, axis=0)
+        u_out[...] = jnp.concatenate(ub, axis=0)
+        v_out[...] = jnp.concatenate(vb, axis=0)
+
+    @pl.when(root < 0)
+    def _():
+        t_out[...] = jnp.concatenate(t_best, axis=0)
+        prim_out[...] = jnp.concatenate(prim, axis=0)
+        u_out[...] = jnp.concatenate(uu, axis=0)
+        v_out[...] = jnp.concatenate(vv, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
+                  interpret: bool = False):
+    """Closest-hit for N rays against the flat BVH.
+
+    o, d:        (N, 3) f32 object-space rays; N % PACKET == 0, pre-sorted so
+                 each PACKET block belongs to one mesh
+    valid:       (N,) i32, nonzero for live rays
+    block_root:  (N//PACKET,) i32 root node per block (-1: skip block)
+    bounds/meta: (Nn, 8) f32 / (Nn, 4) i32 flat BVH
+    tri:         (Tp, 12) f32 leaf-ordered triangles (v0, e1, e2, pad),
+                 padded by >=LEAF_PAD rows
+    Returns (t, prim, u, v) with prim in LEAF order (-1 miss).
+    """
+    n = o.shape[0]
+    nb = n // PACKET
+    shape2d = (n // 128, 128)
+    r2 = lambda a: a.reshape(shape2d)
+    args = [r2(o[:, 0]), r2(o[:, 1]), r2(o[:, 2]),
+            r2(d[:, 0]), r2(d[:, 1]), r2(d[:, 2]),
+            r2(valid.astype(jnp.int32))]
+
+    ray_spec = pl.BlockSpec((SUB, 128), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[ray_spec] * 7 + [full(bounds), full(meta), full(tri)],
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+    )
+
+    t, prim, u, v = pl.pallas_call(
+        _traverse_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape2d, jnp.float32),
+            jax.ShapeDtypeStruct(shape2d, jnp.int32),
+            jax.ShapeDtypeStruct(shape2d, jnp.float32),
+            jax.ShapeDtypeStruct(shape2d, jnp.float32),
+        ],
+        interpret=interpret,
+    )(block_root, *args, bounds, meta, tri)
+
+    miss = t.reshape(n) >= FLT_MAX
+    return (jnp.where(miss, FLT_MAX, t.reshape(n)),
+            jnp.where(miss, -1, prim.reshape(n)),
+            u.reshape(n), v.reshape(n))

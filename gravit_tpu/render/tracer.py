@@ -134,14 +134,53 @@ def _cosine_hemisphere(normal: jax.Array, xi: jax.Array) -> jax.Array:
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
+def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued):
+    """Closest-hit via the Pallas packet-BVH kernel, one pass per mesh.
+
+    Blocks whose lanes contain no rays for mesh m terminate at the root,
+    so the per-mesh passes cost ~one node test for foreign blocks.
+    """
+    from gravit_tpu.ops.intersect import Hit
+    from gravit_tpu.ops.pallas_bvh import PACKET, bvh_intersect
+
+    n = o_obj.shape[0]
+    nb = n // PACKET
+    best = Hit(
+        t=jnp.full((n,), FLT_MAX, jnp.float32),
+        prim=jnp.full((n,), -1, jnp.int32),
+        u=jnp.zeros((n,), jnp.float32),
+        v=jnp.zeros((n,), jnp.float32),
+    )
+    for m in range(accel.num_meshes):
+        valid = queued & (ray_mesh == m)
+        has = jnp.any(valid.reshape(nb, PACKET), axis=1)
+        block_root = jnp.where(has, accel.mesh_root[m], -1).astype(jnp.int32)
+        t, prim, u, v = bvh_intersect(
+            o_obj, d_obj, valid.astype(jnp.int32), block_root,
+            accel.bounds, accel.meta, accel.tri)
+        gprim = jnp.where(prim >= 0,
+                          accel.leaf2global[jnp.maximum(prim, 0)], -1)
+        best = Hit(
+            t=jnp.where(valid, t, best.t),
+            prim=jnp.where(valid, gprim, best.prim),
+            u=jnp.where(valid, u, best.u),
+            v=jnp.where(valid, v, best.v),
+        )
+    return best
+
+
 def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
-                key: jax.Array, tile: int):
+                key: jax.Array, tile: int, accel=None):
     """One wavefront round: intersect all queued rays, process hits, shuffle."""
     queued = arena.active & (arena.inst >= 0)
     o_obj, d_obj, ray_mesh = to_object_space(scene, arena)
-    hit = intersect_closest(
-        o_obj, d_obj, ray_mesh, queued,
-        scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_mesh, tile=tile)
+    if accel is not None:
+        hit = _intersect_bvh(scene, accel, o_obj, d_obj, ray_mesh, queued)
+    else:
+        hit = intersect_closest(
+            o_obj, d_obj, ray_mesh, queued,
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_mesh,
+            tile=tile)
 
     got_hit = queued & (hit.prim >= 0)
     is_shadow = arena.type == int(RayType.SHADOW)
@@ -350,7 +389,7 @@ def _append_rays(arena: RayArena, spawn) -> RayArena:
     static_argnames=("max_rounds", "unroll", "width", "height"))
 def trace_image(scene: SceneData, arena: RayArena, width: int, height: int,
                 key: jax.Array | None = None, max_rounds: int = 64,
-                unroll: bool = False) -> jax.Array:
+                unroll: bool = False, accel=None) -> jax.Array:
     """Trace a camera wavefront to completion; returns the framebuffer.
 
     `unroll=True` runs a fixed `max_rounds` scan (reverse-mode
@@ -368,7 +407,8 @@ def trace_image(scene: SceneData, arena: RayArena, width: int, height: int,
         def body(carry, r):
             arena, fb = carry
             arena, fb = trace_round(scene, arena, fb,
-                                    jax.random.fold_in(key, r), tile)
+                                    jax.random.fold_in(key, r), tile,
+                                    accel=accel)
             return (arena, fb), None
         (arena, fb), _ = jax.lax.scan(
             body, (arena, fb), jnp.arange(max_rounds))
@@ -381,7 +421,8 @@ def trace_image(scene: SceneData, arena: RayArena, width: int, height: int,
     def body(state):
         r, arena, fb = state
         arena, fb = trace_round(scene, arena, fb,
-                                jax.random.fold_in(key, r), tile)
+                                jax.random.fold_in(key, r), tile,
+                                accel=accel)
         return (r + 1, arena, fb)
 
     _, arena, fb = jax.lax.while_loop(cond, body, (jnp.int32(0), arena, fb))

@@ -14,6 +14,7 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+from gravit_tpu.accel.scene_accel import build_scene_bvh  # noqa: E402
 from gravit_tpu.render.scene_build import Instance, build_scene  # noqa: E402
 from gravit_tpu.render.tracer import make_arena, trace_image  # noqa: E402
 from gravit_tpu.scene import image as img  # noqa: E402
@@ -24,16 +25,20 @@ from gravit_tpu.scene.readers.obj import read_obj  # noqa: E402
 GOLDEN = "/root/reference/Test/CTESTtest/data/bunny.ppm"
 
 
-def bunny_scene(width=512, height=512):
+def bunny_scene(width=512, height=512, with_accel=False):
     mesh = read_obj("/root/reference/data/geom/bunny.obj")
     cm = mesh.compile()
     scene = build_scene(
         [cm], [Instance(mesh_id=0, m=np.eye(4, dtype=np.float32))],
         [point_light((0.0, 0.1, 0.5), (1.0, 1.0, 1.0))])
+    if with_accel:
+        accel = build_scene_bvh([cm])
     cam = PerspectiveCamera(
         eye=(0.0, 0.1, 0.3), focus=(0.0, 0.1, -0.3), up=(0.0, 1.0, 0.0),
         fov=float(45.0 * np.pi / 180.0), film_width=width, film_height=height,
         samples=1, max_depth=1, jitter_window=0.0)
+    if with_accel:
+        return scene, cam, accel
     return scene, cam
 
 
