@@ -1,0 +1,136 @@
+"""Volume path tests: TF resampling, trilinear sampling, analytic
+integration, full brick render, and the multi-brick boundary protocol."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gravit_tpu.core.rays import RAY_BOUNDARY, RAY_OPAQUE
+from gravit_tpu.ops.volume_march import march_brick, trilinear
+from gravit_tpu.render.volume_scene import build_volume_scene
+from gravit_tpu.render.volume_tracer import trace_volume
+from gravit_tpu.render.tracer import make_arena
+from gravit_tpu.scene.camera import PerspectiveCamera
+from gravit_tpu.scene.transfer import TransferFunction, apply_tf
+from gravit_tpu.scene.volume import Volume, wavelet_volume
+
+
+def test_tf_resample_reference_semantics(tmp_path):
+    cmap = tmp_path / "t.cmap"
+    cmap.write_text("2\n0.0 0.0 0.0 0.0\n1.0 1.0 0.5 0.25\n")
+    omap = tmp_path / "t.omap"
+    omap.write_text("2\n0.0 0.0\n1.0 1.0\n")
+    tf = TransferFunction.from_files(str(cmap), str(omap), 0.0, 1.0)
+    assert tf.color_lut.shape == (256, 3)
+    np.testing.assert_allclose(tf.color_lut[255], [1.0, 0.5, 0.25], rtol=1e-6)
+    np.testing.assert_allclose(tf.opacity_lut[128], 128 / 255.0, rtol=1e-5)
+    rgb, a = apply_tf(jnp.asarray(tf.color_lut), jnp.asarray(tf.opacity_lut),
+                      jnp.asarray([0.0, 1.0]), jnp.asarray([0.5]))
+    np.testing.assert_allclose(a[0], 0.5, atol=1e-2)
+
+
+def test_trilinear_linear_field():
+    # f(x,y,z) = x + 10y + 100z on a 4^3 grid is reproduced exactly
+    n = 4
+    idx = np.arange(n, dtype=np.float32)
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    f = x + 10 * y + 100 * z
+    samples = jnp.asarray(np.transpose(f, (2, 1, 0)))  # (nz,ny,nx)
+    pos = jnp.asarray([[1.5, 0.25, 2.0], [0.1, 2.9, 0.6]])
+    out = trilinear(samples, jnp.zeros(3), jnp.ones(3), pos)
+    np.testing.assert_allclose(
+        out, [1.5 + 2.5 + 200.0, 0.1 + 29.0 + 60.0], rtol=1e-5)
+
+
+def test_march_constant_volume_analytic():
+    """Constant alpha per step: w after k steps = 1-(1-a)^k."""
+    n = 9
+    samples = np.full((n, n, n), 0.5, np.float32)
+    tf = TransferFunction.gray_ramp(low=0.0, high=1.0, max_opacity=0.2)
+    v = Volume(samples=samples, origin=np.zeros(3, np.float32),
+               spacing=np.ones(3, np.float32), sampling_rate=1.0, tf=tf)
+    o = jnp.asarray([[-1.0, 4.0, 4.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    color, w, flags = march_brick(
+        o, d, jnp.asarray([True]), jnp.zeros((1, 3)), jnp.zeros((1,)),
+        jnp.asarray(v.samples), jnp.asarray(v.origin),
+        jnp.asarray(v.spacing), jnp.asarray(v.bounds_min),
+        jnp.asarray(v.bounds_max),
+        *[jnp.asarray(x) for x in (tf.color_lut, tf.opacity_lut,
+                                   [tf.low, tf.high])],
+        v.step_size(), v.max_steps())
+    # alpha per sample = 0.2 * 0.5 = 0.1; path length 8 -> 8 samples
+    k = 8
+    expect_w = 1 - (1 - 0.1) ** k
+    np.testing.assert_allclose(float(w[0]), expect_w, rtol=0.15)
+    assert int(flags[0]) == RAY_BOUNDARY
+    # color is gray (r=g=b) and bounded by opacity
+    assert abs(float(color[0, 0]) - float(color[0, 1])) < 1e-6
+    assert float(color[0, 0]) <= float(w[0]) + 1e-5
+
+
+def test_march_opaque_termination():
+    n = 9
+    samples = np.full((n, n, n), 1.0, np.float32)
+    tf = TransferFunction.gray_ramp(low=0.0, high=1.0, max_opacity=1.0)
+    v = Volume(samples=samples, origin=np.zeros(3, np.float32),
+               spacing=np.ones(3, np.float32), tf=tf)
+    o = jnp.asarray([[-1.0, 4.0, 4.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    _, w, flags = march_brick(
+        o, d, jnp.asarray([True]), jnp.zeros((1, 3)), jnp.zeros((1,)),
+        jnp.asarray(v.samples), jnp.asarray(v.origin),
+        jnp.asarray(v.spacing), jnp.asarray(v.bounds_min),
+        jnp.asarray(v.bounds_max),
+        *[jnp.asarray(x) for x in (tf.color_lut, tf.opacity_lut,
+                                   [tf.low, tf.high])],
+        v.step_size(), v.max_steps())
+    assert int(flags[0]) == RAY_OPAQUE
+    assert float(w[0]) >= 0.99
+
+
+def _volume_camera(w, h, n):
+    c = (n - 1) / 2.0
+    return PerspectiveCamera(
+        eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=(c, c, c), up=(0.0, 0.0, 1.0),
+        fov=float(30 * np.pi / 180), film_width=w, film_height=h,
+        samples=1, max_depth=1, jitter_window=0.5)
+
+
+def test_volume_render_single_brick():
+    n = 32
+    vol = wavelet_volume(n)
+    scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
+    cam = _volume_camera(24, 24, n)
+    arena = make_arena(cam.generate_rays(volume=True), 1)
+    fb = trace_volume(scene, arena, 24, 24, max_rounds=8)
+    a = np.asarray(fb)
+    assert np.isfinite(a).all()
+    assert (a[:, :3].sum(-1) > 0).sum() > 50  # volume visible
+    assert a[:, :3].max() <= 1.0 + 1e-6
+
+
+def test_volume_bricked_matches_single():
+    """Domain decomposition invariance: 2 half-bricks == 1 full brick."""
+    n = 32
+    full = wavelet_volume(n)
+    tf = full.tf
+    # split along x at plane x=16 with shared boundary layer (like VolApp's
+    # brick reader which repeats the boundary sample row)
+    s = full.samples  # (nz, ny, nx)
+    left = Volume(samples=s[:, :, : n // 2 + 1].copy(),
+                  origin=np.array([0, 0, 0], np.float32),
+                  spacing=np.ones(3, np.float32), tf=tf)
+    right = Volume(samples=s[:, :, n // 2:].copy(),
+                   origin=np.array([n // 2, 0, 0], np.float32),
+                   spacing=np.ones(3, np.float32), tf=tf)
+
+    cam = _volume_camera(24, 24, n)
+    eye = np.eye(4, dtype=np.float32)
+    scene1 = build_volume_scene([full], [(0, eye)])
+    scene2 = build_volume_scene([left, right], [(0, eye), (1, eye)])
+    arena = make_arena(cam.generate_rays(volume=True), 1)
+    fb1 = np.asarray(trace_volume(scene1, arena, 24, 24, max_rounds=8))
+    fb2 = np.asarray(trace_volume(scene2, arena, 24, 24, max_rounds=8))
+    # integration restarts at the brick boundary, so allow small differences
+    err = np.abs(fb1[:, :3] - fb2[:, :3]).max()
+    assert err < 0.06, f"brick decomposition changed the image by {err}"
