@@ -172,8 +172,11 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued):
 def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
                 key: jax.Array, tile: int, accel=None):
     """One wavefront round: intersect all queued rays, process hits, shuffle."""
-    queued = arena.active & (arena.inst >= 0)
+    # rays whose instance has no LOCAL mesh data (ray_mesh < 0: foreign
+    # domain under the domain scheduler) are untouched this round — they
+    # park until the all_to_all migrates them to their owner device
     o_obj, d_obj, ray_mesh = to_object_space(scene, arena)
+    queued = arena.active & (arena.inst >= 0) & (ray_mesh >= 0)
     if accel is not None:
         hit = _intersect_bvh(scene, accel, o_obj, d_obj, ray_mesh, queued)
     else:

@@ -1,0 +1,261 @@
+"""Domain scheduler: scene domains sharded over devices, rays migrate.
+
+The TPU re-design of Tracer<DomainScheduler> (algorithm/DomainTracer.h) and
+the async DomainTracer: instances map to devices round-robin
+(DomainTracer.h:115-144); each round a device traces only rays whose target
+instance it owns, the shuffle assigns next instances, and rays bound for
+remote domains are packed into fixed-capacity per-destination buffers and
+exchanged with ONE `lax.all_to_all` over the ICI mesh axis — replacing the
+reference's per-rank count-handshake + Isend/Irecv ray exchange
+(DomainTracer.h:370-496). Termination is a `psum` of queued-ray counts
+(replacing the MPI_Gather/Scatter check at :337-352 and the async 2PC vote,
+vote.cpp:47-152 — in SPMD a collective reduction IS the vote).
+
+Memory model: every device holds ONLY the triangle/BVH data of its own
+domains (padded to a common size), which is the entire point of domain
+scheduling — scenes larger than one chip's HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gravit_tpu.core.rays import RayArena
+from gravit_tpu.render import tracer as tracer_lib
+from gravit_tpu.render.scene_build import Instance, SceneData, build_scene
+from gravit_tpu.scene import image as image_lib
+from gravit_tpu.scene.light import Light
+from gravit_tpu.scene.mesh import CompiledMesh
+
+
+def round_robin_owners(num_instances: int, n_dev: int) -> np.ndarray:
+    """Instance -> device map; round-robin like the reference's Locations
+    distribution (DomainTracer.h:115-144)."""
+    return (np.arange(num_instances) % n_dev).astype(np.int32)
+
+
+def partition_scene(meshes: Sequence[CompiledMesh],
+                    instances: Sequence[Instance],
+                    lights: Sequence[Light],
+                    n_dev: int):
+    """Build per-device SceneData stacked on a leading device axis.
+
+    Device d's triangle soup holds only the meshes its instances need
+    (adapter-cache semantics: each rank loads what it owns). Instance
+    tables (AABBs, transforms) are replicated — they are tiny and every
+    device needs them for the shuffle. inst_mesh is LOCAL mesh ids, -1 for
+    foreign instances (their rays are never traced locally).
+    """
+    owners = round_robin_owners(len(instances), n_dev)
+
+    # correct world bboxes need GLOBAL mesh bounds (a device's local mesh
+    # list can't resolve foreign instances' meshes)
+    ref_scene = build_scene(meshes, instances, lights)
+    true_lo, true_hi = ref_scene.inst_lo, ref_scene.inst_hi
+
+    per_dev = []
+    for d in range(n_dev):
+        local_mesh_ids = sorted(
+            {instances[i].mesh_id for i in range(len(instances))
+             if owners[i] == d})
+        gl2loc = {g: l for l, g in enumerate(local_mesh_ids)}
+        local_meshes = [meshes[g] for g in local_mesh_ids]
+        # all instances, with local mesh ids (or -1 if not owned here)
+        inst = [Instance(mesh_id=gl2loc.get(instances[i].mesh_id, 0),
+                         m=instances[i].m) for i in range(len(instances))]
+        sd = build_scene(local_meshes if local_meshes else [meshes[0]],
+                         inst, lights)
+        mask = np.array([1 if owners[i] == d else 0
+                         for i in range(len(instances))], np.int32)
+        per_dev.append((sd, mask))
+
+    # pad triangle-soup + vertex leaves to the max size across devices
+    t_max = max(sd.num_triangles for sd, _ in per_dev)
+    v_max = max(sd.vertices.shape[0] for sd, _ in per_dev)
+    padded = []
+    for d, (sd, mask) in enumerate(per_dev):
+        if sd.num_triangles < t_max:
+            sd = _pad_scene_tris(sd, t_max)
+        if sd.vertices.shape[0] < v_max:
+            vpad = v_max - sd.vertices.shape[0]
+            sd = sd.replace(vertices=jnp.concatenate(
+                [sd.vertices, jnp.zeros((vpad, 3), jnp.float32)]))
+        # foreign instances get mesh id -1 so their rays never match local
+        # triangles
+        inst_mesh = jnp.where(jnp.asarray(mask) > 0, sd.inst_mesh, -1)
+        # static fields must be identical across devices for tree.map
+        sd = sd.replace(inst_mesh=inst_mesh, inst_lo=true_lo,
+                        inst_hi=true_hi,
+                        num_meshes=max(x.num_meshes for x, _ in per_dev),
+                        mesh_tri_offset=(), mesh_tri_count=())
+        padded.append(sd)
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+    return stacked, jnp.asarray(owners)
+
+
+def _pad_scene_tris(sd: SceneData, t_max: int) -> SceneData:
+    pad = t_max - sd.num_triangles
+    padz = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+    return sd.replace(
+        tri_v0=padz(sd.tri_v0), tri_e1=padz(sd.tri_e1),
+        tri_e2=padz(sd.tri_e2), tri_ng=padz(sd.tri_ng),
+        tri_ns=padz(sd.tri_ns), tri_vcol=padz(sd.tri_vcol),
+        tri_has_vcol=jnp.concatenate(
+            [sd.tri_has_vcol, jnp.zeros((pad,), bool)]),
+        tri_mesh=jnp.concatenate(
+            [sd.tri_mesh, jnp.full((pad,), -2, jnp.int32)]),
+        tri_mat_type=padz(sd.tri_mat_type), tri_kd=padz(sd.tri_kd),
+        tri_ks=padz(sd.tri_ks), tri_alpha=padz(sd.tri_alpha),
+        faces=jnp.concatenate([sd.faces, jnp.zeros((pad, 3), jnp.int32)]),
+    )
+
+
+def _pack_exchange(arena: RayArena, dest: jax.Array, n_dev: int, cap: int):
+    """Compact rays by destination device into a (n_dev, cap) lane buffer.
+
+    dest: (C,) destination device per lane, -1 = stays local. Overflowing
+    rays are DROPPED (counted in the returned scalar) — capacity should be
+    sized so this never fires in practice.
+    """
+    c = arena.capacity
+    send_mask = dest >= 0
+    d_safe = jnp.where(send_mask, dest, 0)
+    # rank within destination bucket via one-hot cumsum
+    onehot = jax.nn.one_hot(d_safe, n_dev, dtype=jnp.int32) * \
+        send_mask[:, None].astype(jnp.int32)
+    rank = jnp.cumsum(onehot, axis=0) - onehot  # exclusive prefix per dest
+    my_rank = jnp.sum(rank * onehot, axis=1)
+    slot = jnp.where(send_mask & (my_rank < cap),
+                     d_safe * cap + my_rank, n_dev * cap)
+    dropped = jnp.sum((send_mask & (my_rank >= cap)).astype(jnp.int32))
+
+    def pack(field):
+        out_shape = (n_dev * cap,) + field.shape[1:]
+        buf = jnp.zeros(out_shape, field.dtype)
+        return buf.at[slot].set(field, mode="drop").reshape(
+            (n_dev, cap) + field.shape[1:])
+
+    packed = jax.tree.map(pack, arena)
+    # mark validity: a packed lane is valid iff some ray landed there
+    valid = jnp.zeros((n_dev * cap,), bool).at[slot].set(
+        arena.active & send_mask, mode="drop").reshape(n_dev, cap)
+    packed = packed.replace(active=valid)
+    # sent rays leave the local arena
+    arena = arena.replace(active=arena.active & ~send_mask)
+    return arena, packed, dropped
+
+
+def _merge_incoming(arena: RayArena, incoming: RayArena) -> RayArena:
+    """Scatter received rays into free local lanes (prefix allocation)."""
+    c = arena.capacity
+    flat = jax.tree.map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), incoming)
+    free_slots = jnp.sort(
+        jnp.where(~arena.active, jnp.arange(c, dtype=jnp.int32), c))
+    rank = jnp.cumsum(flat.active.astype(jnp.int32)) - 1
+    slot = jnp.where(flat.active, free_slots[jnp.clip(rank, 0, c - 1)], c)
+    slot = jnp.where(slot >= c, c, slot)
+
+    def put(dst, src):
+        return dst.at[slot].set(src, mode="drop")
+
+    return jax.tree.map(put, arena, flat)
+
+
+def trace_domain(scene_stacked: SceneData, owners: jax.Array,
+                 arena: RayArena, width: int, height: int, mesh: Mesh,
+                 axis: str = "domains", max_rounds: int = 32,
+                 exchange_cap: int | None = None) -> jax.Array:
+    """Run the domain-scheduled trace over the device mesh; returns fb.
+
+    arena: the FULL camera wavefront, replicated (every device filters to
+    its own domains, as the reference's FilterRaysLocally/shuffleDropRays).
+    """
+    n_dev = mesh.shape[axis]
+    cap = exchange_cap or max(1024, arena.capacity // (2 * n_dev))
+
+    scene_specs = jax.tree.map(lambda _: P(axis), scene_stacked)
+    arena_specs = jax.tree.map(lambda _: P(), arena)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(scene_specs, P(), arena_specs), out_specs=P(),
+        check_vma=False)
+    def run(scene_d, owners, arena):
+        scene_l = jax.tree.map(
+            lambda a: a[0] if a.ndim and a.shape[0] == 1 else a, scene_d)
+        me = jax.lax.axis_index(axis)
+        tile = tracer_lib._choose_tile(scene_l.tri_v0.shape[0])
+        fb = image_lib.new_framebuffer(width, height)
+        key = jax.random.key(17)
+
+        # initial filter: assign first instances, keep local rays only
+        # (shuffleDropRays, DomainTracer.h:148-183)
+        arena, fb = tracer_lib.shuffle(scene_l, arena, fb)
+        local = owners[jnp.clip(arena.inst, 0, owners.shape[0] - 1)] == me
+        arena = arena.replace(
+            active=arena.active & ((arena.inst < 0) | local))
+
+        def round_fn(state):
+            r, arena, fb = state
+            # trace_round only processes rays whose instance has local mesh
+            # data (inst_mesh == -1 for foreign instances parks the lane)
+            arena, fb2 = tracer_lib.trace_round(
+                scene_l, arena, fb, jax.random.fold_in(key, r), tile)
+            # exchange: send rays whose target is foreign
+            inst_owner = owners[jnp.clip(arena.inst, 0, owners.shape[0] - 1)]
+            send = arena.active & (arena.inst >= 0) & (inst_owner != me)
+            dest = jnp.where(send, inst_owner, -1)
+            arena, packed, _ = _pack_exchange(arena, dest, n_dev, cap)
+            incoming = jax.tree.map(
+                lambda a: jax.lax.all_to_all(
+                    a, axis, split_axis=0, concat_axis=0, tiled=False),
+                packed)
+            arena = _merge_incoming(arena, incoming)
+            return r + 1, arena, fb2
+
+        def cond(state):
+            r, arena, fb = state
+            live = jnp.sum((arena.active & (arena.inst >= 0))
+                           .astype(jnp.int32))
+            return (r < max_rounds) & (jax.lax.psum(live, axis) > 0)
+
+        _, arena, fb = jax.lax.while_loop(
+            cond, round_fn, (jnp.int32(0), arena, fb))
+        return jax.lax.psum(fb, axis)
+
+    fb = run(scene_stacked, owners, arena)
+    return image_lib.clamp_rgb(fb)
+
+
+@dataclasses.dataclass
+class DomainRenderer:
+    """Convenience wrapper bundling partitioned scene + device mesh."""
+
+    scene_stacked: SceneData
+    owners: jax.Array
+    mesh: Mesh
+    axis: str = "domains"
+
+    @classmethod
+    def build(cls, meshes, instances, lights, mesh: Mesh,
+              axis: str = "domains"):
+        n_dev = mesh.shape[axis]
+        stacked, owners = partition_scene(meshes, instances, lights, n_dev)
+        return cls(stacked, owners, mesh, axis)
+
+    def render(self, camera, max_rounds: int = 32):
+        rays = camera.generate_rays()
+        arena = tracer_lib.make_arena(rays, int(self.scene_stacked.num_lights))
+        return trace_domain(self.scene_stacked, self.owners, arena,
+                            camera.film_width, camera.film_height,
+                            self.mesh, self.axis, max_rounds)
