@@ -39,7 +39,8 @@ def moller_trumbore(o, d, v0, e1, e2, tnear, tfar):
     """
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    inv_det = jnp.where(det != 0.0, 1.0 / det_safe, 0.0)
     tvec = o - v0
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1)

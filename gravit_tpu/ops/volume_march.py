@@ -62,8 +62,9 @@ def march_brick(o, d, active, color_in, w_in,
     """
     from gravit_tpu.scene.transfer import apply_tf
 
-    inv = jnp.where(jnp.abs(d) < 1e-30,
-                    jnp.where(d < 0, -1e30, 1e30), 1.0 / d)
+    small = jnp.abs(d) < 1e-30
+    d_safe = jnp.where(small, 1.0, d)
+    inv = jnp.where(small, jnp.where(d < 0, -1e30, 1e30), 1.0 / d_safe)
     t0 = (lo - o) * inv
     t1 = (hi - o) * inv
     t_in = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)

@@ -34,6 +34,13 @@ from gravit_tpu.scene.light import LightKind
 RAY_EPSILON = 1e-6
 
 
+def _safe_norm(x, axis=-1, keepdims=False):
+    """sqrt(max(|x|^2, tiny)): NaN-free reverse-mode at x == 0 (plain
+    jnp.linalg.norm backprops 0/0 there)."""
+    n2 = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(n2, 1e-30))
+
+
 def _choose_tile(num_tris: int) -> int:
     # small tri tiles keep the (rays x tris) broadcast temporaries in the
     # hundreds of MB; the Pallas BVH kernel replaces this path for large meshes
@@ -76,7 +83,13 @@ def shuffle(scene: SceneData, arena: RayArena, fb: jax.Array
     """
     pending = arena.active & (arena.inst < 0)
 
-    inv_dir = 1.0 / arena.direction  # inf on zero components, as reference
+    # reciprocal directions: zero components get a big finite value instead
+    # of inf so reverse-mode AD stays NaN-free (double-where pattern);
+    # forward behavior is unchanged for any ray that can hit a box
+    dd = arena.direction
+    small = jnp.abs(dd) < 1e-30
+    d_safe = jnp.where(small, 1.0, dd)
+    inv_dir = jnp.where(small, jnp.where(dd < 0, -1e30, 1e30), 1.0 / d_safe)
     # (N, I) slab tests against every instance AABB
     l = (scene.inst_lo[None, :, :] - arena.origin[:, None, :]) * inv_dir[:, None, :]
     u = (scene.inst_hi[None, :, :] - arena.origin[:, None, :]) * inv_dir[:, None, :]
@@ -131,7 +144,7 @@ def _cosine_hemisphere(normal: jax.Array, xi: jax.Array) -> jax.Array:
     x = jnp.cross(h, y)
     z = jnp.cross(x, y)
     d = x * xs[:, None] + y * ys[:, None] + z * zs[:, None]
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d / _safe_norm(d, keepdims=True)
 
 
 def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued):
@@ -227,6 +240,9 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     """
     n = arena.capacity
     prim = jnp.clip(hit.prim, 0, scene.num_triangles - 1)
+    # sanitized hit distance: FLT_MAX on unmasked lanes would produce inf
+    # positions whose NaN cotangents poison reverse-mode AD through where()
+    t_hit = jnp.where(mask, hit.t, 1.0)
     _, _, normi = _gather_inst(scene, arena.inst)
 
     # interpolated shading normal: a*u + b*v + c*(1-u-v) with (a,b,c) the
@@ -235,16 +251,14 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     u_, v_ = hit.u[:, None], hit.v[:, None]
     n_interp = ns[:, 1] * u_ + ns[:, 2] * v_ + ns[:, 0] * (1.0 - u_ - v_)
     n_shade = jnp.einsum("nij,nj->ni", normi, n_interp)
-    n_shade = n_shade / jnp.maximum(
-        jnp.linalg.norm(n_shade, axis=-1, keepdims=True), 1e-30)
+    n_shade = n_shade / _safe_norm(n_shade, keepdims=True)
 
     # flat normal: normalize(normi * -Ng) (cpp:506-508); embree-2 reports the
     # unnormalized Ng = cross(e2, e1) (inward for CCW), so the reference's
     # -Ng is cross(e1, e2) — the outward CCW normal
     ng = jnp.cross(scene.tri_e1[prim], scene.tri_e2[prim])
     n_flat = jnp.einsum("nij,nj->ni", normi, ng)
-    n_flat = n_flat / jnp.maximum(
-        jnp.linalg.norm(n_flat, axis=-1, keepdims=True), 1e-30)
+    n_flat = n_flat / _safe_norm(n_flat, keepdims=True)
 
     # backface flip uses the FLAT normal (cpp:531-533)
     flip = jnp.sum(-arena.direction * n_flat, axis=-1) <= 0.0
@@ -262,16 +276,16 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
 
     # SECONDARY arrival contribution decay: t>1 ? 1/t : t; w *= t  (cpp:570-575)
     is_sec = arena.type == int(RayType.SECONDARY)
-    t_decay = jnp.where(hit.t > 1.0, 1.0 / hit.t, hit.t)
+    t_decay = jnp.where(t_hit > 1.0, 1.0 / t_hit, t_hit)
     w_now = jnp.where(mask & is_sec, arena.w * t_decay, arena.w)
     arena = arena.replace(w=w_now, t=jnp.where(mask, hit.t, arena.t))
 
     # ---- shadow spawn per light (generateShadowRays, cpp:320-358) --------
     from gravit_tpu.scene.material import shade as shade_model
 
-    t_shadow = (1.0 - 16.0 * RAY_EPSILON) * hit.t
+    t_shadow = (1.0 - 16.0 * RAY_EPSILON) * t_hit
     s_origin = arena.origin + arena.direction * t_shadow[:, None]
-    hit_point = arena.origin + arena.direction * arena.t[:, None]
+    hit_point = arena.origin + arena.direction * t_hit[:, None]
 
     L = scene.num_lights
     spawn = {
@@ -302,7 +316,7 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         lpos = jnp.where(is_area, lpos_area, lpos_fixed)
 
         is_ambient = scene.lights_kind[li] == int(LightKind.AMBIENT)
-        dist = jnp.linalg.norm(lpos - hit_point, axis=-1)
+        dist = _safe_norm(lpos - hit_point)
         fall = jnp.minimum(1.0, 1.0 / jnp.maximum(dist, 1e-30))
         li_contrib = jnp.where(
             is_ambient,
@@ -311,7 +325,7 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         )
 
         wi = lpos - hit_point
-        wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-30)
+        wi = wi / _safe_norm(wi, keepdims=True)
         ndotl = jnp.maximum(0.0, jnp.sum(normal * wi, axis=-1))
         valid = mask & (ndotl > 0.0) & jnp.any(li_contrib != 0.0, axis=-1)
         c = shade_model(mat_type, kd, ks, alpha, arena.direction, w_now,
@@ -323,7 +337,7 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         spawn["origin"] = spawn["origin"].at[sl].set(s_origin)
         spawn["direction"] = spawn["direction"].at[sl].set(sdir)
         spawn["color"] = spawn["color"].at[sl].set(c)
-        spawn["t"] = spawn["t"].at[sl].set(hit.t)
+        spawn["t"] = spawn["t"].at[sl].set(t_hit)
         # t_max = dir.length() quirk: glm vec3::length() returns the
         # COMPONENT COUNT (3.0), not the magnitude  (cpp:347,355)
         spawn["t_max"] = spawn["t_max"].at[sl].set(jnp.full((n,), 3.0))
@@ -337,7 +351,7 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     ndepth = arena.depth - 1
     p = 1.0 - jax.random.uniform(jax.random.fold_in(key, 991), (n,))
     bounce = mask & (ndepth > 0) & (w_now > p)
-    t_sec = (1.0 - 16.0 * jnp.finfo(jnp.float32).eps) * hit.t
+    t_sec = (1.0 - 16.0 * jnp.finfo(jnp.float32).eps) * t_hit
     xi = jax.random.uniform(jax.random.fold_in(key, 992), (n, 2))
     new_dir = _cosine_hemisphere(normal, xi)
     new_origin = arena.origin + arena.direction * t_sec[:, None]

@@ -33,7 +33,10 @@ def _instance_bvh_hit(scene: VolumeSceneData, arena: RayArena,
                       exclude: jax.Array):
     """Closest instance AABB (leaf `update=true` semantics), excluding
     `exclude` per ray. Returns (found, next_inst, tnear)."""
-    inv_dir = 1.0 / arena.direction
+    dd = arena.direction
+    small = jnp.abs(dd) < 1e-30
+    d_safe = jnp.where(small, 1.0, dd)
+    inv_dir = jnp.where(small, jnp.where(dd < 0, -1e30, 1e30), 1.0 / d_safe)
     l = (scene.inst_lo[None] - arena.origin[:, None]) * inv_dir[:, None]
     u = (scene.inst_hi[None] - arena.origin[:, None]) * inv_dir[:, None]
     tnear = jnp.max(jnp.minimum(l, u), axis=-1)

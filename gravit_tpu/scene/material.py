@@ -47,7 +47,8 @@ def shade(mat_type, kd, ks, alpha, ray_dir, ray_w, normal, wi):
     phong = diffuse + ks * (phong_pow * ray_w)[:, None]
 
     h = wi - ray_dir
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-30)
+    h2 = jnp.sum(h * h, axis=-1, keepdims=True)
+    h = h / jnp.sqrt(jnp.maximum(h2, 1e-30))
     ndoth = jnp.maximum(0.0, jnp.sum(h * normal, axis=-1))
     blinn_pow = ndoth * jnp.power(ndoth, alpha)
     blinn = diffuse + ks * (blinn_pow * ray_w)[:, None]
@@ -68,7 +69,8 @@ def shade_with_light(mat_type, kd, ks, alpha, ray_dir, ray_w, normal,
     shadow ray is spawned, Material.cpp:97-101).
     """
     wi = light_pos - hit_point
-    wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-30)
+    w2 = jnp.sum(wi * wi, axis=-1, keepdims=True)
+    wi = wi / jnp.sqrt(jnp.maximum(w2, 1e-30))
     ndotl = jnp.maximum(0.0, jnp.sum(normal * wi, axis=-1))
     li = light_contrib
     valid = (ndotl > 0.0) & jnp.any(li != 0.0, axis=-1)
