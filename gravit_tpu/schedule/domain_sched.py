@@ -44,7 +44,7 @@ def round_robin_owners(num_instances: int, n_dev: int) -> np.ndarray:
 def partition_scene(meshes: Sequence[CompiledMesh],
                     instances: Sequence[Instance],
                     lights: Sequence[Light],
-                    n_dev: int):
+                    n_dev: int, owners: np.ndarray | None = None):
     """Build per-device SceneData stacked on a leading device axis.
 
     Device d's triangle soup holds only the meshes its instances need
@@ -53,7 +53,8 @@ def partition_scene(meshes: Sequence[CompiledMesh],
     device needs them for the shuffle. inst_mesh is LOCAL mesh ids, -1 for
     foreign instances (their rays are never traced locally).
     """
-    owners = round_robin_owners(len(instances), n_dev)
+    if owners is None:
+        owners = round_robin_owners(len(instances), n_dev)
 
     # correct world bboxes need GLOBAL mesh bounds (a device's local mesh
     # list can't resolve foreign instances' meshes)
@@ -246,12 +247,54 @@ class DomainRenderer:
     mesh: Mesh
     axis: str = "domains"
 
+    meshes_src: Sequence = None
+    instances_src: Sequence = None
+    lights_src: Sequence = None
+
     @classmethod
     def build(cls, meshes, instances, lights, mesh: Mesh,
-              axis: str = "domains"):
+              axis: str = "domains", owners: np.ndarray | None = None):
         n_dev = mesh.shape[axis]
-        stacked, owners = partition_scene(meshes, instances, lights, n_dev)
-        return cls(stacked, owners, mesh, axis)
+        stacked, owners = partition_scene(meshes, instances, lights, n_dev,
+                                          owners)
+        return cls(stacked, owners, mesh, axis, meshes, instances, lights)
+
+    def reschedule(self, pending: np.ndarray, policy: str = "RayWeightedSpread"):
+        """Hybrid scheduling: recompute domain->device placement from
+        per-domain pending-ray counts using a schedule/policies.py policy,
+        then repartition (the HybridTracer remap, HybridTracer.h:223-299,
+        applied between frames)."""
+        from gravit_tpu.schedule.policies import POLICIES, primary_owner
+
+        n_dev = self.mesh.shape[self.axis]
+        resident = POLICIES[policy](np.asarray(pending),
+                                    np.asarray(self.owners), n_dev)
+        new_owners = primary_owner(resident)
+        stacked, owners = partition_scene(
+            self.meshes_src, self.instances_src, self.lights_src, n_dev,
+            new_owners)
+        return DomainRenderer(stacked, owners, self.mesh, self.axis,
+                              self.meshes_src, self.instances_src,
+                              self.lights_src)
+
+    def pending_histogram(self, camera) -> np.ndarray:
+        """Per-domain primary-ray demand (the gathered (domain, #rays)
+        map the hybrid policies consume)."""
+        import jax.numpy as jnp
+
+        from gravit_tpu.render.scene_build import build_scene
+        from gravit_tpu.scene import image as image_lib
+
+        scene = build_scene(self.meshes_src, self.instances_src,
+                            self.lights_src)
+        rays = camera.generate_rays()
+        arena = tracer_lib.make_arena(rays, int(scene.num_lights))
+        fb = image_lib.new_framebuffer(camera.film_width, camera.film_height)
+        arena, _ = tracer_lib.shuffle(scene, arena, fb)
+        inst = np.asarray(arena.inst)
+        act = np.asarray(arena.active)
+        n_inst = int(scene.num_instances)
+        return np.bincount(inst[act & (inst >= 0)], minlength=n_inst)
 
     def render(self, camera, max_rounds: int = 32):
         rays = camera.generate_rays()

@@ -1,0 +1,97 @@
+"""Readers (obj+mtl, ply, conf) and hybrid scheduling policies."""
+
+import numpy as np
+import pytest
+
+from gravit_tpu.scene.readers.conf import read_geom_conf, read_render_conf
+from gravit_tpu.scene.readers.obj import read_obj
+from gravit_tpu.scene.readers.ply import read_ply
+from gravit_tpu.schedule import policies
+
+
+def test_read_obj_bunny():
+    m = read_obj("/root/reference/data/geom/bunny.obj")
+    assert len(m.vertices) == 2503
+    assert len(m.faces) == 4968
+    cm = m.compile()
+    assert cm.num_triangles == 4968
+    # generated normals are unit
+    n = np.linalg.norm(cm.geom_normal, axis=-1)
+    np.testing.assert_allclose(n, 1.0, rtol=1e-4)
+
+
+def test_read_obj_mtl(tmp_path):
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl red\nKd 1.0 0.0 0.0\nKs 0.2 0.2 0.2\nNs 8\n"
+        "newmtl blue\nKd 0.0 0.0 1.0\n")
+    (tmp_path / "tri.obj").write_text(
+        "mtllib scene.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "usemtl red\nf 1 2 3\nusemtl blue\nf 2 4 3\n")
+    m = read_obj(str(tmp_path / "tri.obj"), material_type=1)
+    assert len(m.face_materials) == 2
+    assert m.face_materials[0].kd == (1.0, 0.0, 0.0)
+    assert m.face_materials[1].kd == (0.0, 0.0, 1.0)
+    assert m.face_materials[0].type == 1
+    cm = m.compile()
+    np.testing.assert_allclose(cm.mat_kd[0], [1, 0, 0])
+    np.testing.assert_allclose(cm.mat_kd[1], [0, 0, 1])
+
+
+def test_read_ply_ascii(tmp_path):
+    (tmp_path / "t.ply").write_text(
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float confidence\n"
+        "element face 2\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0 1\n1 0 0 1\n0 1 0 1\n1 1 0 1\n3 0 1 2\n4 1 3 2 0\n")
+    m = read_ply(str(tmp_path / "t.ply"))
+    assert len(m.vertices) == 4
+    # quad fan-triangulates into 2 tris -> 3 faces total
+    assert len(m.faces) == 3
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path(
+        "/root/reference/data/geom/bunny/reconstruction/bun_zipper_res4.ply"
+    ).exists(), reason="reference data not mounted")
+def test_read_ply_reference_bunny():
+    m = read_ply("/root/reference/data/geom/bunny/reconstruction/"
+                 "bun_zipper_res4.ply")
+    assert len(m.vertices) > 400
+    assert len(m.faces) > 800
+
+
+def test_read_geom_conf():
+    entries = read_geom_conf("/root/reference/data/geom/bunny.conf")
+    assert len(entries) == 1
+    assert entries[0].path.endswith("bun_zipper.ply")
+    assert entries[0].hi == (1.0, 1.0, 1.0)
+
+
+def test_read_render_conf(tmp_path):
+    (tmp_path / "r.conf").write_text(
+        "512 256\n30.0\n1 2 3\n0 0 0\n0 1 0\nSurface\nDomain\n0.5\n"
+        "2 4 8\nfoo.bov\n")
+    c = read_render_conf(str(tmp_path / "r.conf"))
+    assert (c.width, c.height) == (512, 256)
+    assert c.render_type == "Surface"
+    assert c.schedule_type == "Domain"
+    assert c.topology == (2, 4, 8)
+    assert c.datafile == "foo.bov"
+
+
+def test_policies_shapes_and_invariants():
+    pending = np.array([100, 0, 50, 10, 80])
+    owners = np.array([0, 1, 0, 1, 0], np.int32)
+    for name, fn in policies.POLICIES.items():
+        res = fn(pending.copy(), owners.copy(), 2)
+        assert res.shape == (5, 2), name
+        assert res.any(axis=1).all(), f"{name}: domain with no residency"
+    # ray-weighted spread balances: the two heaviest domains split devices
+    res = policies.ray_weighted_spread(pending, owners, 2)
+    own = policies.primary_owner(res)
+    assert own[0] != own[4]
+    # replication policies add residency
+    res = policies.load_another(pending, owners, 2)
+    assert res.sum() == 6  # one extra replica
