@@ -36,7 +36,20 @@ class FlatBVH:
 
 
 def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-              max_leaf: int = MAX_LEAF) -> FlatBVH:
+              max_leaf: int = MAX_LEAF, native: bool = True) -> FlatBVH:
+    if native:
+        from gravit_tpu import native as native_lib
+
+        out = native_lib.build_bvh_native(v0, e1, e2, max_leaf)
+        if out is not None:
+            bounds, meta, order, depth = out
+            return FlatBVH(bounds=bounds, meta=meta, order=order,
+                           depth=depth)
+    return _build_bvh_py(v0, e1, e2, max_leaf)
+
+
+def _build_bvh_py(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                  max_leaf: int = MAX_LEAF) -> FlatBVH:
     t = v0.shape[0]
     verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (T, 3, 3)
     tri_lo = verts.min(axis=1)
