@@ -72,10 +72,14 @@ def filter_initial(scene: VolumeSceneData, arena: RayArena) -> RayArena:
 
 def march_round(scene: VolumeSceneData, arena: RayArena):
     """Phase 1: march all queued rays through their bricks (per-volume
-    passes, statically unrolled; rays of other volumes are masked)."""
-    queued = arena.active & (arena.inst >= 0)
+    passes, statically unrolled; rays of other volumes are masked).
+
+    Rays whose instance has no LOCAL brick data (inst_vol == -1 under the
+    domain scheduler) park untouched until the all_to_all migrates them.
+    """
     safe_inst = jnp.clip(arena.inst, 0, scene.num_instances - 1)
     vol_of_ray = scene.inst_vol[safe_inst]
+    queued = arena.active & (arena.inst >= 0) & (vol_of_ray >= 0)
     minv = scene.inst_minv[safe_inst]
     o_obj = jnp.einsum("nij,nj->ni", minv[:, :3, :3], arena.origin) \
         + minv[:, :3, 3]
