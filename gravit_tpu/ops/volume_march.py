@@ -45,11 +45,26 @@ def trilinear(samples: jax.Array, origin, spacing, pos):
     return c0 * (1 - tz) + c1 * tz
 
 
+def sample_amr(samples, origin, spacing, pos, subgrids=()):
+    """Sample the finest grid containing each position.
+
+    subgrids: tuple of (samples, origin, spacing, lo, hi), ordered coarse ->
+    fine (finer levels LAST so they override; Volume.h griddata tree).
+    """
+    s = trilinear(samples, origin, spacing, pos)
+    for sub_samples, sub_origin, sub_spacing, sub_lo, sub_hi in subgrids:
+        inside = jnp.all((pos >= sub_lo) & (pos <= sub_hi), axis=-1)
+        s_fine = trilinear(sub_samples, sub_origin, sub_spacing, pos)
+        s = jnp.where(inside, s_fine, s)
+    return s
+
+
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def march_brick(o, d, active, color_in, w_in,
                 samples, origin, spacing, lo, hi,
                 color_lut, opacity_lut, vrange,
-                step: float | jax.Array, max_steps: int):
+                step: float | jax.Array, max_steps: int,
+                subgrids=()):
     """March active rays through one brick; returns (color, w, exited_flags).
 
     o, d:   (N, 3) rays in the brick's coordinate frame (d need not be unit;
@@ -78,7 +93,7 @@ def march_brick(o, d, active, color_in, w_in,
         t = t_in + step * (k + 0.5)
         pos = o + t[:, None] * d
         inside = active & (t < t_out) & (w < OPACITY_TERMINATION)
-        s = trilinear(samples, origin, spacing, pos)
+        s = sample_amr(samples, origin, spacing, pos, subgrids)
         rgb, a = apply_tf(color_lut, opacity_lut, vrange, s)
         a = 1.0 - jnp.power(jnp.maximum(1.0 - a, 0.0), correction)
         a = jnp.where(inside, a, 0.0)

@@ -1,0 +1,68 @@
+"""Checkpoint/resume for differentiable-rendering training state.
+
+The reference has NO checkpointing (SURVEY.md §5: output is the final PPM).
+The training loop introduced by this framework needs it: scene parameters +
+optimizer state + step counter save/restore. Uses orbax when importable,
+else a .npz fallback with identical semantics.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+
+def save(path: str, params: Any, opt_state: Any = None,
+         step: int = 0) -> None:
+    state = {"params": params, "opt_state": opt_state, "step": step}
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(pathlib.Path(path).resolve(), state, force=True)
+        ckptr.wait_until_finished()
+        return
+    except Exception:
+        pass
+    # npz fallback: flatten the pytree; treedef re-derived from a template
+    leaves = jax.tree.leaves(state, is_leaf=lambda x: x is None)
+    arrays = {f"leaf_{i}": (np.asarray(x) if x is not None
+                            else np.array([], np.float32))
+              for i, x in enumerate(leaves)}
+    np.savez(path if str(path).endswith(".npz") else str(path) + ".npz",
+             **arrays)
+
+
+def restore(path: str, template: Tuple[Any, Any, int]):
+    """Restore (params, opt_state, step) given a same-structure template."""
+    state_t = {"params": template[0], "opt_state": template[1],
+               "step": template[2]}
+    try:
+        import orbax.checkpoint as ocp
+
+        p = pathlib.Path(path).resolve()
+        if p.is_dir():
+            ckptr = ocp.StandardCheckpointer()
+            state = ckptr.restore(p, state_t)
+            return state["params"], state["opt_state"], int(state["step"])
+    except Exception:
+        pass
+    npz = path if str(path).endswith(".npz") else str(path) + ".npz"
+    data = np.load(npz)
+    leaves_t, treedef = jax.tree.flatten(
+        state_t, is_leaf=lambda x: x is None)
+    leaves = []
+    for i, t in enumerate(leaves_t):
+        a = data[f"leaf_{i}"]
+        if t is None:
+            leaves.append(None)
+        elif np.ndim(t) == 0 and not isinstance(t, (np.ndarray,)):
+            leaves.append(type(t)(a.item()) if a.size else t)
+        else:
+            leaves.append(a.reshape(np.shape(t)).astype(
+                np.asarray(t).dtype))
+    state = jax.tree.unflatten(treedef, leaves)
+    return state["params"], state["opt_state"], int(state["step"])

@@ -83,7 +83,15 @@ class Renderer:
         vol_nodes = [n for n in db.group("Data").children.values()
                      if n.type == "Volume"]
         name2id = {n.name: i for i, n in enumerate(vol_nodes)}
-        volumes = [n["ptr"] for n in vol_nodes]
+        volumes = []
+        for n in vol_nodes:
+            v = n["ptr"]
+            # attach AMR subgrids registered via api.addAmrSubgrid
+            v.subgrids = []
+            for _gid, level, sub in n.get("subgrids", []):
+                sub.level = level
+                v.subgrids.append(sub)
+            volumes.append(v)
         instances = [
             (name2id[n["meshRef"]], n["mat"])
             for n in db.group("Instances").children.values()

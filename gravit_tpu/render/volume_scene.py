@@ -29,12 +29,15 @@ class VolumeSceneData:
     vol_color_lut: Tuple[jax.Array, ...]   # each (256, 3)
     vol_opacity_lut: Tuple[jax.Array, ...]  # each (256,)
     vol_vrange: Tuple[jax.Array, ...]      # each (2,)
-
     # instances
     inst_vol: jax.Array    # (I,) i32
     inst_lo: jax.Array     # (I, 3) world bbox
     inst_hi: jax.Array     # (I, 3)
     inst_minv: jax.Array   # (I, 4, 4)
+
+    # AMR: per-volume tuple of (samples, origin, spacing, lo, hi), ordered
+    # coarse -> fine (Volume.h griddata nesting)
+    vol_subgrids: Tuple[tuple, ...] = ()
 
     # static
     num_instances: int = struct.field(pytree_node=False, default=0)
@@ -48,7 +51,7 @@ def build_volume_scene(volumes: Sequence[Volume],
                        ) -> VolumeSceneData:
     """instances: list of (volume_id, 4x4 world transform)."""
     vs, vo, vsp, vlo, vhi, vcl, vol_, vr = [], [], [], [], [], [], [], []
-    steps, max_steps = [], []
+    steps, max_steps, subs = [], [], []
     for v in volumes:
         tf = v.tf
         assert tf is not None, "volume needs a transfer function"
@@ -63,6 +66,13 @@ def build_volume_scene(volumes: Sequence[Volume],
         vr.append(r)
         steps.append(v.step_size())
         max_steps.append(v.max_steps())
+        sub_list = []
+        for sub in sorted(v.subgrids, key=lambda g: g.level):
+            sub_list.append((
+                jnp.asarray(sub.samples), jnp.asarray(sub.origin),
+                jnp.asarray(sub.spacing), jnp.asarray(sub.bounds_min),
+                jnp.asarray(sub.bounds_max)))
+        subs.append(tuple(sub_list))
 
     inst_vol = np.array([i[0] for i in instances], np.int32)
     inst_m = np.stack([np.asarray(m, np.float32) for _, m in instances])
@@ -85,6 +95,7 @@ def build_volume_scene(volumes: Sequence[Volume],
         inst_vol=jnp.asarray(inst_vol),
         inst_lo=jnp.asarray(np.stack(lo)), inst_hi=jnp.asarray(np.stack(hi)),
         inst_minv=jnp.asarray(inst_minv),
+        vol_subgrids=tuple(subs),
         num_instances=len(instances), num_volumes=len(volumes),
         vol_step=tuple(steps), vol_max_steps=tuple(max_steps),
     )

@@ -94,7 +94,9 @@ def march_round(scene: VolumeSceneData, arena: RayArena):
             scene.vol_lo[v], scene.vol_hi[v],
             scene.vol_color_lut[v], scene.vol_opacity_lut[v],
             scene.vol_vrange[v],
-            scene.vol_step[v], scene.vol_max_steps[v])
+            scene.vol_step[v], scene.vol_max_steps[v],
+            subgrids=(scene.vol_subgrids[v]
+                      if v < len(scene.vol_subgrids) else ()))
         color = jnp.where(mask[:, None], c2, color)
         w = jnp.where(mask, w2, w)
         depth = jnp.where(mask, flags, depth)

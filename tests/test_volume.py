@@ -134,3 +134,48 @@ def test_volume_bricked_matches_single():
     # integration restarts at the brick boundary, so allow small differences
     err = np.abs(fb1[:, :3] - fb2[:, :3]).max()
     assert err < 0.06, f"brick decomposition changed the image by {err}"
+
+
+def test_amr_subgrid_sampling():
+    """A fine subgrid overrides the coarse grid inside its bounds."""
+    import jax.numpy as jnp
+    from gravit_tpu.ops.volume_march import sample_amr
+
+    n = 8
+    coarse = np.zeros((n, n, n), np.float32)
+    fine = np.full((5, 5, 5), 7.0, np.float32)  # covers [2,4]^3 at 0.5 spacing
+    sub = (jnp.asarray(fine), jnp.asarray([2.0, 2.0, 2.0]),
+           jnp.asarray([0.5, 0.5, 0.5]), jnp.asarray([2.0, 2.0, 2.0]),
+           jnp.asarray([4.0, 4.0, 4.0]))
+    pos = jnp.asarray([[3.0, 3.0, 3.0], [6.0, 6.0, 6.0]])
+    s = sample_amr(jnp.asarray(coarse), jnp.zeros(3), jnp.ones(3), pos,
+                   subgrids=(sub,))
+    np.testing.assert_allclose(np.asarray(s), [7.0, 0.0], atol=1e-6)
+
+
+def test_amr_render_via_api():
+    from gravit_tpu import api
+    from gravit_tpu.render.renderer import Renderer
+    from gravit_tpu.scene.transfer import TransferFunction
+
+    Renderer.reset()
+    api.gvtInit()
+    n = 16
+    api.createVolume("amrvol", amr=True)
+    node = api._db().find("amrvol")
+    node["tf"] = TransferFunction.gray_ramp(low=0.0, high=10.0,
+                                            max_opacity=0.3)
+    api.addVolumeSamples("amrvol", np.zeros(n * n * n, np.float32),
+                         [n, n, n], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0], 1.0)
+    # fine subgrid filled with high values in the center
+    api.addAmrSubgrid("amrvol", 1, 1, np.full(9 * 9 * 9, 9.0, np.float32),
+                      [9, 9, 9], [4.0, 4.0, 4.0], [0.5, 0.5, 0.5])
+    api.addInstance("inst0", "amrvol", np.eye(4, dtype=np.float32).flatten())
+    api.addCamera("cam", [64.0, 64.0, 64.0], [7.5, 7.5, 7.5],
+                  [0.0, 0.0, 1.0], 30 * np.pi / 180, 1, 1, 0.5)
+    api.addFilm("film", 16, 16, "amr_out")
+    api.addRenderer("vr", 6, 1, "cam", "film", volume=True)
+    api.render("vr")
+    fb = np.asarray(Renderer.instance().framebuffer("vr"))
+    # coarse grid is all zeros -> any signal comes from the AMR subgrid
+    assert fb[:, :3].sum() > 0.01
