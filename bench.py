@@ -30,6 +30,7 @@ FRAMES = 5
 def main():
     import numpy as np
 
+    from gravit_tpu.accel.scene_accel import build_scene_bvh
     from gravit_tpu.render.scene_build import Instance, build_scene
     from gravit_tpu.render.tracer import make_arena, trace_image
     from gravit_tpu.scene.camera import PerspectiveCamera
@@ -37,10 +38,12 @@ def main():
     from gravit_tpu.scene.readers.obj import read_obj
 
     mesh = read_obj("/root/reference/data/geom/bunny.obj")
+    cm = mesh.compile()
     scene = build_scene(
-        [mesh.compile()],
+        [cm],
         [Instance(mesh_id=0, m=np.eye(4, dtype=np.float32))],
         [point_light((0.0, 0.1, 0.5), (1.0, 1.0, 1.0))])
+    accel = build_scene_bvh([cm])
     cam = PerspectiveCamera(
         eye=(0.0, 0.1, 0.3), focus=(0.0, 0.1, -0.3), up=(0.0, 1.0, 0.0),
         fov=float(45.0 * np.pi / 180.0),
@@ -52,17 +55,20 @@ def main():
         # per-frame origin jitter (sub-pixel) gives every frame distinct
         # inputs AND outputs, defeating remote dispatch memoization
         arena = arena0.replace(origin=arena0.origin + 1.7e-6 * (i + 1))
-        return trace_image(scene, arena, WIDTH, HEIGHT, max_rounds=32)
+        return trace_image(scene, arena, WIDTH, HEIGHT, max_rounds=32,
+                           accel=accel)
 
     for i in range(WARMUP):
         fb = frame(1000 + i)
-    fb.block_until_ready()
+        float(np.asarray(fb[:8, :]).sum())
 
     times = []
     for i in range(FRAMES):
         t0 = time.time()
         fb = frame(i)
-        fb.block_until_ready()
+        # force a real device->host materialization; block_until_ready is
+        # not sufficient under the axon remote-execution tunnel
+        float(np.asarray(fb[:8, :]).sum())
         times.append(time.time() - t0)
     times.sort()
     dt = times[len(times) // 2]  # median
