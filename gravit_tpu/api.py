@@ -223,6 +223,25 @@ def addAmrSubgrid(name: str, gridid: int, level: int, samples, counts,
 # --------------------------------------------------------------------------
 # lights (api.cpp:330-430)
 
+def setVolumeIsovalues(name: str, values) -> None:
+    """Extension: Volume::SetIsovalues (Volume.h:132); the reference sets
+    this from apps directly, not through api.h."""
+    node = _db().find(name)
+    node["isovalues"] = tuple(float(v) for v in np.asarray(values).ravel())
+    if node["ptr"] is not None:
+        node["ptr"].isovalues = node["isovalues"]
+
+
+def setVolumeSlices(name: str, planes) -> None:
+    """Extension: Volume::SetSlices (Volume.h:97) — planes (N, 4)."""
+    node = _db().find(name)
+    pl = tuple(tuple(float(x) for x in row)
+               for row in np.asarray(planes).reshape(-1, 4))
+    node["slices"] = pl
+    if node["ptr"] is not None:
+        node["ptr"].slices = pl
+
+
 def addPointLight(name: str, pos, color) -> None:
     n = _db().create("Lights", "PointLight", name)
     n["position"] = tuple(np.asarray(pos, np.float32))

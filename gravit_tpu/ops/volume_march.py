@@ -59,12 +59,32 @@ def sample_amr(samples, origin, spacing, pos, subgrids=()):
     return s
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
+def field_gradient(samples, origin, spacing, pos, subgrids=(), h=0.5):
+    """Central-difference gradient of the scalar field (isosurface normal)."""
+    grads = []
+    for ax in range(3):
+        e = jnp.zeros(3).at[ax].set(h)
+        sp = sample_amr(samples, origin, spacing, pos + e, subgrids)
+        sm = sample_amr(samples, origin, spacing, pos - e, subgrids)
+        grads.append((sp - sm) / (2 * h))
+    g = jnp.stack(grads, axis=-1)
+    return g / jnp.sqrt(jnp.maximum(jnp.sum(g * g, axis=-1,
+                                            keepdims=True), 1e-30))
+
+
+# headlight shading constants for implicit surfaces — the reference
+# hardcodes Ka=0.4, Kd=0.6 into the OSPRay renderer (OSPRayAdapter.cpp trace)
+ISO_KA = 0.4
+ISO_KD = 0.6
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "isovalues",
+                                             "slices"))
 def march_brick(o, d, active, color_in, w_in,
                 samples, origin, spacing, lo, hi,
                 color_lut, opacity_lut, vrange,
                 step: float | jax.Array, max_steps: int,
-                subgrids=()):
+                subgrids=(), isovalues: tuple = (), slices: tuple = ()):
     """March active rays through one brick; returns (color, w, exited_flags).
 
     o, d:   (N, 3) rays in the brick's coordinate frame (d need not be unit;
@@ -88,20 +108,65 @@ def march_brick(o, d, active, color_in, w_in,
     base_step = jnp.min(spacing)
     correction = step / jnp.maximum(base_step, 1e-30)
 
+    n = o.shape[0]
+    view = -d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1,
+                                             keepdims=True), 1e-30))
+
+    def surface_deposit(color, w, pos, base_rgb, inside):
+        """Opaque implicit-surface hit: headlight lambert, w -> 1."""
+        nrm = field_gradient(samples, origin, spacing, pos, subgrids)
+        ndv = jnp.abs(jnp.sum(nrm * view, axis=-1))
+        shade = ISO_KA + ISO_KD * ndv
+        c_surf = base_rgb * shade[:, None]
+        color = jnp.where(inside[:, None],
+                          color + (1.0 - w)[:, None] * c_surf, color)
+        w = jnp.where(inside, 1.0, w)
+        return color, w
+
     def body(k, carry):
-        color, w = carry
+        color, w, s_prev, have_prev = carry
         t = t_in + step * (k + 0.5)
         pos = o + t[:, None] * d
         inside = active & (t < t_out) & (w < OPACITY_TERMINATION)
         s = sample_amr(samples, origin, spacing, pos, subgrids)
+
+        # implicit isosurfaces: sign change of (s - iso) between samples
+        for iso in isovalues:
+            cross = inside & have_prev & \
+                ((s_prev - iso) * (s - iso) <= 0.0) & (s_prev != s)
+            rgb_iso, _ = apply_tf(color_lut, opacity_lut, vrange,
+                                  jnp.full((n,), iso))
+            color, w = surface_deposit(color, w, pos, rgb_iso, cross)
+        # slice planes (a, b, c, dd): crossing of plane function
+        for pl in slices:
+            a_, b_, c_, dd_ = pl
+            f = pos[:, 0] * a_ + pos[:, 1] * b_ + pos[:, 2] * c_ + dd_
+            pos_prev = o + (t - step)[:, None] * d
+            f_prev = (pos_prev[:, 0] * a_ + pos_prev[:, 1] * b_
+                      + pos_prev[:, 2] * c_ + dd_)
+            cross = inside & have_prev & (f_prev * f <= 0.0)
+            s_here = sample_amr(samples, origin, spacing, pos, subgrids)
+            rgb_sl, _ = apply_tf(color_lut, opacity_lut, vrange, s_here)
+            nrm = jnp.asarray([a_, b_, c_])
+            nrm = nrm / jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm), 1e-30))
+            ndv = jnp.abs(jnp.sum(nrm[None, :] * view, axis=-1))
+            c_surf = rgb_sl * (ISO_KA + ISO_KD * ndv)[:, None]
+            color = jnp.where(cross[:, None],
+                              color + (1.0 - w)[:, None] * c_surf, color)
+            w = jnp.where(cross, 1.0, w)
+
+        inside = inside & (w < OPACITY_TERMINATION)
         rgb, a = apply_tf(color_lut, opacity_lut, vrange, s)
         a = 1.0 - jnp.power(jnp.maximum(1.0 - a, 0.0), correction)
         a = jnp.where(inside, a, 0.0)
         color = color + (1.0 - w)[:, None] * a[:, None] * rgb
         w = w + (1.0 - w) * a
-        return color, w
+        return color, w, s, have_prev | (active & (t < t_out))
 
-    color, w = jax.lax.fori_loop(0, max_steps, body, (color_in, w_in))
+    color, w, _, _ = jax.lax.fori_loop(
+        0, max_steps, body,
+        (color_in, w_in, jnp.zeros((n,), jnp.float32),
+         jnp.zeros((n,), bool)))
     opaque = w >= OPACITY_TERMINATION
     flags = jnp.where(opaque, RAY_OPAQUE, RAY_BOUNDARY)
     return color, w, jnp.where(active, flags, 0)

@@ -44,6 +44,8 @@ class VolumeSceneData:
     num_volumes: int = struct.field(pytree_node=False, default=0)
     vol_step: tuple = struct.field(pytree_node=False, default=())
     vol_max_steps: tuple = struct.field(pytree_node=False, default=())
+    vol_isovalues: tuple = struct.field(pytree_node=False, default=())
+    vol_slices: tuple = struct.field(pytree_node=False, default=())
 
 
 def build_volume_scene(volumes: Sequence[Volume],
@@ -98,4 +100,8 @@ def build_volume_scene(volumes: Sequence[Volume],
         vol_subgrids=tuple(subs),
         num_instances=len(instances), num_volumes=len(volumes),
         vol_step=tuple(steps), vol_max_steps=tuple(max_steps),
+        vol_isovalues=tuple(tuple(float(x) for x in v.isovalues)
+                            for v in volumes),
+        vol_slices=tuple(tuple(tuple(float(x) for x in pl)
+                               for pl in v.slices) for v in volumes),
     )

@@ -96,7 +96,11 @@ def march_round(scene: VolumeSceneData, arena: RayArena):
             scene.vol_vrange[v],
             scene.vol_step[v], scene.vol_max_steps[v],
             subgrids=(scene.vol_subgrids[v]
-                      if v < len(scene.vol_subgrids) else ()))
+                      if v < len(scene.vol_subgrids) else ()),
+            isovalues=(scene.vol_isovalues[v]
+                       if v < len(scene.vol_isovalues) else ()),
+            slices=(scene.vol_slices[v]
+                    if v < len(scene.vol_slices) else ()))
         color = jnp.where(mask[:, None], c2, color)
         w = jnp.where(mask, w2, w)
         depth = jnp.where(mask, flags, depth)

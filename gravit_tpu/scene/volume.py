@@ -29,6 +29,10 @@ class Volume:
     # AMR: finer subgrids overlaying parts of this brick
     subgrids: List["Volume"] = dataclasses.field(default_factory=list)
     level: int = 0
+    # implicit geometry (Volume.h slices/isovalues; rendered with the
+    # hardcoded Ka/Kd headlight as in the OSPRay adapter)
+    isovalues: tuple = ()
+    slices: tuple = ()  # plane equations (a, b, c, d)
 
     @classmethod
     def from_flat(cls, flat: np.ndarray, counts, origin, spacing,

@@ -179,3 +179,32 @@ def test_amr_render_via_api():
     fb = np.asarray(Renderer.instance().framebuffer("vr"))
     # coarse grid is all zeros -> any signal comes from the AMR subgrid
     assert fb[:, :3].sum() > 0.01
+
+
+def test_isosurface_and_slice():
+    """Isovalue crossing renders an opaque shaded surface; slice plane too."""
+    n = 24
+    # radial field: sphere isosurface at r=6
+    idx = np.arange(n, dtype=np.float32)
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    c = (n - 1) / 2
+    r = np.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2)
+    samples = np.transpose(r, (2, 1, 0)).astype(np.float32)
+    tf = TransferFunction.gray_ramp(low=0.0, high=float(r.max()),
+                                    max_opacity=0.0)  # no volume opacity
+    vol = Volume(samples=samples, origin=np.zeros(3, np.float32),
+                 spacing=np.ones(3, np.float32), tf=tf, isovalues=(6.0,))
+    scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
+    cam = _volume_camera(24, 24, n)
+    arena = make_arena(cam.generate_rays(volume=True), 1)
+    fb = np.asarray(trace_volume(scene, arena, 24, 24, max_rounds=6))
+    # the sphere must be visible (opacity-only tf contributes nothing)
+    assert (fb[:, 3] > 0.5).sum() > 20, "isosurface not rendered"
+    assert np.isfinite(fb).all()
+
+    vol2 = Volume(samples=samples, origin=np.zeros(3, np.float32),
+                  spacing=np.ones(3, np.float32), tf=tf,
+                  slices=((1.0, 0.0, 0.0, -float(c)),))
+    scene2 = build_volume_scene([vol2], [(0, np.eye(4, dtype=np.float32))])
+    fb2 = np.asarray(trace_volume(scene2, arena, 24, 24, max_rounds=6))
+    assert (fb2[:, 3] > 0.5).sum() > 20, "slice plane not rendered"
