@@ -85,12 +85,19 @@ def addMeshVertices(name: str, n: int, vertices, tessellate: bool = False,
 
 
 def _tessellate(m: Mesh, verts: np.ndarray, qhullargs: str) -> None:
-    """Delaunay tessellation of a point cloud (the qhull path,
-    api.cpp:143-170). scipy is unavailable; a direct lifted-paraboloid
-    lower-hull implementation would go here — currently surfaces the same
-    behavior for already-triangulated input and raises otherwise."""
-    raise NotImplementedError(
-        "qhull tessellation: pass explicit triangles via addMeshTriangles")
+    """Tessellate the point cloud (the qhull path, api.cpp:143-170).
+
+    "d"-style args use 2.5D Delaunay (terrain clouds, the TessApp case);
+    otherwise the convex hull. Triangles land 0-based directly (the
+    reference pushes qhull facets via addFace with +1, api.cpp:162-165).
+    """
+    from gravit_tpu.scene.tessellate import convex_hull, delaunay_2_5d
+
+    if "d" in (qhullargs or "d Qz").split():
+        tris = delaunay_2_5d(verts)
+    else:
+        tris = convex_hull(verts)
+    m.faces.extend(tuple(int(i) for i in t) for t in tris)
 
 
 def addMeshTriangles(name: str, n: int, triangles) -> None:
