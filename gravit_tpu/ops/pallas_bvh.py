@@ -17,6 +17,7 @@ Triangle/node tables are mesh-concatenated and live in VMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -186,9 +187,17 @@ def _traverse_kernel(block_root, ox, oy, oz, dx, dy, dz, valid,
         v_out[...] = jnp.concatenate(vv, axis=0)
 
 
+def _default_interpret() -> bool:
+    # GRAVIT_PALLAS_INTERPRET=1 forces interpreter mode (CPU test coverage
+    # of the accel path without Mosaic hardware)
+    return os.environ.get("GRAVIT_PALLAS_INTERPRET", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
-                  interpret: bool = False):
+                  interpret: bool | None = None):
+    if interpret is None:
+        interpret = _default_interpret()
     """Closest-hit for N rays against the flat BVH.
 
     o, d:        (N, 3) f32 object-space rays; N % PACKET == 0, pre-sorted so
