@@ -446,6 +446,49 @@ def trace_image(scene: SceneData, arena: RayArena, width: int, height: int,
     return fb
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _round_step(scene: SceneData, arena: RayArena, fb: jax.Array,
+                key: jax.Array, width: int, height: int, accel=None):
+    tile = _choose_tile(scene.tri_v0.shape[0])
+    arena, fb = trace_round(scene, arena, fb, key, tile, accel=accel)
+    live = jnp.sum((arena.active & (arena.inst >= 0)).astype(jnp.int32))
+    return arena, fb, live
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _initial_shuffle(scene: SceneData, arena: RayArena, width: int,
+                     height: int):
+    fb = image_lib.new_framebuffer(width, height)
+    arena, fb = shuffle(scene, arena, fb)
+    return arena, fb
+
+
+def trace_image_stepped(scene: SceneData, arena: RayArena, width: int,
+                        height: int, key: jax.Array | None = None,
+                        max_rounds: int = 64, accel=None,
+                        timer=None) -> jax.Array:
+    """Host-stepped variant of trace_image: one jit dispatch per round with
+    the termination check on the host. Same results; smaller programs
+    (useful for per-round profiling via `timer` and for environments where
+    very large single programs are fragile)."""
+    if key is None:
+        key = jax.random.key(0)
+    arena, fb = _initial_shuffle(scene, arena, width, height)
+    for r in range(max_rounds):
+        ctx = timer.phase(f"round{r}") if timer else None
+        if ctx:
+            ctx.__enter__()
+        arena, fb, live = _round_step(
+            scene, arena, fb, jax.random.fold_in(key, r), width, height,
+            accel=accel)
+        n_live = int(live)
+        if ctx:
+            ctx.__exit__(None, None, None)
+        if n_live == 0:
+            break
+    return fb
+
+
 def make_arena(camera_rays: RayArena, num_lights: int,
                slack: float = 1.25) -> RayArena:
     """Embed camera rays into an arena with room for shadow spawns."""
