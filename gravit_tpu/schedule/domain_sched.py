@@ -175,17 +175,25 @@ def _merge_incoming(arena: RayArena, incoming: RayArena) -> RayArena:
 def trace_domain(scene_stacked: SceneData, owners: jax.Array,
                  arena: RayArena, width: int, height: int, mesh: Mesh,
                  axis: str = "domains", max_rounds: int = 32,
-                 exchange_cap: int | None = None) -> jax.Array:
+                 exchange_cap: int | None = None,
+                 ray_axis: str | None = None) -> jax.Array:
     """Run the domain-scheduled trace over the device mesh; returns fb.
 
     arena: the FULL camera wavefront, replicated (every device filters to
     its own domains, as the reference's FilterRaysLocally/shuffleDropRays).
+
+    ray_axis: optional SECOND mesh axis for hybrid sharding — the arena is
+    additionally split over it (each domain group serves a slice of the
+    rays), composing the Domain (model-parallel) and Image (data-parallel)
+    schedulers on a 2D mesh. Migration all_to_alls stay within the domain
+    axis; the framebuffer psums over both.
     """
     n_dev = mesh.shape[axis]
     cap = exchange_cap or max(1024, arena.capacity // (2 * n_dev))
 
     scene_specs = jax.tree.map(lambda _: P(axis), scene_stacked)
-    arena_specs = jax.tree.map(lambda _: P(), arena)
+    arena_specs = jax.tree.map(
+        lambda _: P(ray_axis) if ray_axis else P(), arena)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -228,11 +236,17 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
             r, arena, fb = state
             live = jnp.sum((arena.active & (arena.inst >= 0))
                            .astype(jnp.int32))
-            return (r < max_rounds) & (jax.lax.psum(live, axis) > 0)
+            live = jax.lax.psum(live, axis)
+            if ray_axis:
+                live = jax.lax.psum(live, ray_axis)
+            return (r < max_rounds) & (live > 0)
 
         _, arena, fb = jax.lax.while_loop(
             cond, round_fn, (jnp.int32(0), arena, fb))
-        return jax.lax.psum(fb, axis)
+        fb = jax.lax.psum(fb, axis)
+        if ray_axis:
+            fb = jax.lax.psum(fb, ray_axis)
+        return fb
 
     fb = run(scene_stacked, owners, arena)
     return image_lib.clamp_rgb(fb)

@@ -79,3 +79,42 @@ def test_domain_scheduler_matches_single_device(n_dev):
     err = np.abs(fb_ref[:, :3] - fb_dom[:, :3]).max()
     assert err < 1e-5, f"domain-scheduled image differs by {err}"
     assert (fb_dom[:, :3].sum(-1) > 0).sum() > 50
+
+
+def test_hybrid_2d_mesh_domains_x_rays():
+    """2D mesh: domains sharded on one axis, rays data-parallel on the
+    other — the full DP x MP composition."""
+    import jax.numpy as jnp
+    from gravit_tpu.schedule.domain_sched import partition_scene, trace_domain
+    from gravit_tpu.core.math3d import mat4_translate_scale
+    from gravit_tpu.render.scene_build import Instance
+    from gravit_tpu.scene.light import point_light
+
+    scene, cam = scenes.simple_scene(32, 32)
+    meshes = [scenes.cone_mesh(), scenes.cube_mesh()]
+    instances = []
+    k = 0
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            instances.append(Instance(
+                mesh_id=k % 2,
+                m=mat4_translate_scale((0.0, i * 0.5, j * 0.5),
+                                       (0.4, 0.4, 0.4))))
+            k += 1
+    lights = [point_light((1.0, 0.0, -1.0), (1.0, 1.0, 1.0))]
+
+    arena = make_arena(cam.generate_rays(), 1)
+    fb_ref = np.asarray(trace_image(scene, arena, 32, 32, max_rounds=32))
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("domains", "rays"))
+    stacked, owners = partition_scene(meshes, instances, lights, 2)
+    if arena.capacity % 4:
+        pad = 4 - arena.capacity % 4
+        arena = jax.tree.map(lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), arena)
+    fb = np.asarray(trace_domain(stacked, owners, arena, 32, 32, mesh,
+                                 axis="domains", ray_axis="rays",
+                                 max_rounds=32))
+    err = np.abs(fb_ref[:, :3] - fb[:, :3]).max()
+    assert err < 1e-5, f"2D hybrid sharding changed image by {err}"
