@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from gravit_tpu.core.rays import FLT_MAX, RayArena, RayType
+from gravit_tpu.core.rng import hash_uniform, hash_uniform2
 from gravit_tpu.ops.intersect import intersect_closest, moller_trumbore
 from gravit_tpu.render.scene_build import SceneData
 from gravit_tpu.scene import image as image_lib
@@ -183,7 +184,7 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued):
 
 
 def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
-                key: jax.Array, tile: int, accel=None):
+                round_idx, tile: int, accel=None):
     """One wavefront round: intersect all queued rays, process hits, shuffle."""
     # rays whose instance has no LOCAL mesh data (ray_mesh < 0: foreign
     # domain under the domain scheduler) are untouched this round — they
@@ -218,7 +219,7 @@ def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
     # --- PRIMARY/SECONDARY hit: shade + spawn + bounce --------------------
     surf_hits = surf & (hit.prim >= 0)
     arena, fb, spawn = _process_surface_hits(
-        scene, arena, fb, hit, surf_hits, key)
+        scene, arena, fb, hit, surf_hits, round_idx)
 
     # shadow rays that were occluded die silently (EmbreeMeshAdapter.cpp:492)
     arena = arena.replace(active=arena.active & ~shadow_occluded)
@@ -232,7 +233,7 @@ def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
 
 
 def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
-                          hit, mask: jax.Array, key: jax.Array):
+                          hit, mask: jax.Array, round_idx):
     """Hit shading: EmbreeMeshAdapter.cpp:484-607, fully vectorized.
 
     Returns updated (arena, fb, spawn) where `spawn` is a dict of (N*L)-lane
@@ -300,12 +301,14 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         "inst": jnp.zeros((n * L,), jnp.int32),
         "valid": jnp.zeros((n * L,), jnp.bool_),
     }
+    # decorrelation counter for the per-ray hashes: round + bounce depth
+    rng_extra = (jnp.uint32(round_idx) * jnp.uint32(2654435761)
+                 + arena.depth.astype(jnp.uint32) * jnp.uint32(40503))
     for li in range(L):
-        lkey = jax.random.fold_in(key, li)
-        # sample light position (area lights use counter-based uniforms; the
-        # reference's chunk-seeded xorshift is not reproducible in SPMD —
-        # parity configs use point lights)
-        xi = jax.random.uniform(lkey, (n, 2))
+        # sample light position (area lights use counter-based per-ray
+        # hashes — sharding-invariant, unlike the reference's chunk-seeded
+        # xorshift; parity configs use point lights)
+        xi = hash_uniform2(arena.id, 11 + li, rng_extra)
         is_area = scene.lights_kind[li] == int(LightKind.AREA)
         lpos_fixed = jnp.broadcast_to(scene.lights_pos[li], (n, 3))
         lpos_area = (
@@ -349,10 +352,10 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
 
     # ---- Russian-roulette secondary bounce (cpp:577-607) ------------------
     ndepth = arena.depth - 1
-    p = 1.0 - jax.random.uniform(jax.random.fold_in(key, 991), (n,))
+    p = 1.0 - hash_uniform(arena.id, 991, rng_extra)
     bounce = mask & (ndepth > 0) & (w_now > p)
     t_sec = (1.0 - 16.0 * jnp.finfo(jnp.float32).eps) * t_hit
-    xi = jax.random.uniform(jax.random.fold_in(key, 992), (n, 2))
+    xi = hash_uniform2(arena.id, 992, rng_extra)
     new_dir = _cosine_hemisphere(normal, xi)
     new_origin = arena.origin + arena.direction * t_sec[:, None]
     new_w = w_now * jnp.sum(new_dir * normal, axis=-1)
@@ -423,8 +426,7 @@ def trace_image(scene: SceneData, arena: RayArena, width: int, height: int,
     if unroll:
         def body(carry, r):
             arena, fb = carry
-            arena, fb = trace_round(scene, arena, fb,
-                                    jax.random.fold_in(key, r), tile,
+            arena, fb = trace_round(scene, arena, fb, r, tile,
                                     accel=accel)
             return (arena, fb), None
         (arena, fb), _ = jax.lax.scan(
@@ -437,8 +439,7 @@ def trace_image(scene: SceneData, arena: RayArena, width: int, height: int,
 
     def body(state):
         r, arena, fb = state
-        arena, fb = trace_round(scene, arena, fb,
-                                jax.random.fold_in(key, r), tile,
+        arena, fb = trace_round(scene, arena, fb, r, tile,
                                 accel=accel)
         return (r + 1, arena, fb)
 
@@ -448,9 +449,9 @@ def trace_image(scene: SceneData, arena: RayArena, width: int, height: int,
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def _round_step(scene: SceneData, arena: RayArena, fb: jax.Array,
-                key: jax.Array, width: int, height: int, accel=None):
+                round_idx, width: int, height: int, accel=None):
     tile = _choose_tile(scene.tri_v0.shape[0])
-    arena, fb = trace_round(scene, arena, fb, key, tile, accel=accel)
+    arena, fb = trace_round(scene, arena, fb, round_idx, tile, accel=accel)
     live = jnp.sum((arena.active & (arena.inst >= 0)).astype(jnp.int32))
     return arena, fb, live
 
@@ -479,8 +480,7 @@ def trace_image_stepped(scene: SceneData, arena: RayArena, width: int,
         if ctx:
             ctx.__enter__()
         arena, fb, live = _round_step(
-            scene, arena, fb, jax.random.fold_in(key, r), width, height,
-            accel=accel)
+            scene, arena, fb, jnp.int32(r), width, height, accel=accel)
         n_live = int(live)
         if ctx:
             ctx.__exit__(None, None, None)

@@ -205,7 +205,6 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
         me = jax.lax.axis_index(axis)
         tile = tracer_lib._choose_tile(scene_l.tri_v0.shape[0])
         fb = image_lib.new_framebuffer(width, height)
-        key = jax.random.key(17)
 
         # initial filter: assign first instances, keep local rays only
         # (shuffleDropRays, DomainTracer.h:148-183)
@@ -218,8 +217,7 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
             r, arena, fb = state
             # trace_round only processes rays whose instance has local mesh
             # data (inst_mesh == -1 for foreign instances parks the lane)
-            arena, fb2 = tracer_lib.trace_round(
-                scene_l, arena, fb, jax.random.fold_in(key, r), tile)
+            arena, fb2 = tracer_lib.trace_round(scene_l, arena, fb, r, tile)
             # exchange: send rays whose target is foreign
             inst_owner = owners[jnp.clip(arena.inst, 0, owners.shape[0] - 1)]
             send = arena.active & (arena.inst >= 0) & (inst_owner != me)
