@@ -118,3 +118,51 @@ def test_hybrid_2d_mesh_domains_x_rays():
                                  max_rounds=32))
     err = np.abs(fb_ref[:, :3] - fb[:, :3]).max()
     assert err < 1e-5, f"2D hybrid sharding changed image by {err}"
+
+
+def test_depth3_area_light_sharding_invariant():
+    """RR bounces + area-light sampling give IDENTICAL images under any
+    sharding (counter-based RNG) — impossible in the reference, where
+    samples depend on the TBB chunk layout."""
+    import jax.numpy as jnp
+    from gravit_tpu.core.math3d import mat4_translate_scale
+    from gravit_tpu.render.scene_build import Instance, build_scene
+    from gravit_tpu.scene.camera import PerspectiveCamera
+    from gravit_tpu.scene.light import area_light
+
+    meshes = [scenes.cone_mesh(), scenes.cube_mesh()]
+    instances = []
+    k = 0
+    for i in range(-1, 2):
+        for j in range(-1, 2):
+            instances.append(Instance(
+                mesh_id=k % 2,
+                m=mat4_translate_scale((0.0, i * 0.5, j * 0.5),
+                                       (0.4, 0.4, 0.4))))
+            k += 1
+    lights = [area_light((1.0, 0.5, -1.0), (1.0, 1.0, 1.0),
+                         (0.0, 1.0, 0.0), 0.4, 0.4)]
+    scene = build_scene(meshes, instances, lights)
+    cam = PerspectiveCamera(
+        eye=(4.0, 0.0, 0.0), focus=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0),
+        fov=float(45 * np.pi / 180), film_width=24, film_height=24,
+        samples=2, max_depth=3, jitter_window=0.5)
+    arena = make_arena(cam.generate_rays(), 1)
+    fb1 = np.asarray(trace_image(scene, arena, 24, 24, max_rounds=48))
+    assert np.isfinite(fb1).all()
+    assert fb1[:, :3].max() <= 1.0 + 1e-6
+    assert (fb1[:, :3].sum(-1) > 0).sum() > 30
+
+    # image-scheduler sharding must reproduce the exact image
+    from jax.sharding import Mesh as JMesh
+    from gravit_tpu.schedule.image_sched import trace_image_sharded
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    jmesh = JMesh(devs, ("rays",))
+    cap = arena.capacity
+    if cap % 8:
+        pad = 8 - cap % 8
+        arena = jax.tree.map(lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), arena)
+    fb8 = np.asarray(trace_image_sharded(scene, arena, 24, 24, jmesh,
+                                         max_rounds=48))
+    assert np.abs(fb1 - fb8).max() < 1e-6
