@@ -47,6 +47,12 @@ class SceneData:
     tri_kd: jax.Array        # (T, 3)
     tri_ks: jax.Array        # (T, 3)
     tri_alpha: jax.Array     # (T,)
+    tri_eta: jax.Array       # (T, 3) embree material family
+    tri_k: jax.Array         # (T, 3)
+    tri_rough: jax.Array     # (T,)
+    tri_hsc: jax.Array       # (T, 3)
+    tri_bs: jax.Array        # (T,)
+    tri_hsf: jax.Array       # (T,)
 
     # instances
     inst_mesh: jax.Array     # (I,) i32
@@ -130,6 +136,12 @@ def build_scene(meshes: Sequence[CompiledMesh],
     tri_kd = cat([m.mat_kd for m in meshes])
     tri_ks = cat([m.mat_ks for m in meshes])
     tri_alpha = cat([m.mat_alpha for m in meshes])
+    tri_eta = cat([m.mat_eta for m in meshes])
+    tri_k = cat([m.mat_k for m in meshes])
+    tri_rough = cat([m.mat_rough for m in meshes])
+    tri_hsc = cat([m.mat_hsc for m in meshes])
+    tri_bs = cat([m.mat_bs for m in meshes])
+    tri_hsf = cat([m.mat_hsf for m in meshes])
 
     t = tri_v0.shape[0]
     if pad_tris_to is not None and pad_tris_to > t:
@@ -142,6 +154,8 @@ def build_scene(meshes: Sequence[CompiledMesh],
         tri_mesh = np.concatenate([tri_mesh, np.full((pad,), -2, np.int32)])
         tri_mat_type = padz(tri_mat_type)
         tri_kd, tri_ks, tri_alpha = padz(tri_kd), padz(tri_ks), padz(tri_alpha)
+        tri_eta, tri_k, tri_rough = padz(tri_eta), padz(tri_k), padz(tri_rough)
+        tri_hsc, tri_bs, tri_hsf = padz(tri_hsc), padz(tri_bs), padz(tri_hsf)
         faces = np.concatenate([faces, np.zeros((pad, 3), np.int32)])
 
     n_inst = len(instances)
@@ -173,6 +187,9 @@ def build_scene(meshes: Sequence[CompiledMesh],
         tri_mesh=jnp.asarray(tri_mesh),
         tri_mat_type=jnp.asarray(tri_mat_type), tri_kd=jnp.asarray(tri_kd),
         tri_ks=jnp.asarray(tri_ks), tri_alpha=jnp.asarray(tri_alpha),
+        tri_eta=jnp.asarray(tri_eta), tri_k=jnp.asarray(tri_k),
+        tri_rough=jnp.asarray(tri_rough), tri_hsc=jnp.asarray(tri_hsc),
+        tri_bs=jnp.asarray(tri_bs), tri_hsf=jnp.asarray(tri_hsf),
         inst_mesh=jnp.asarray(inst_mesh),
         inst_lo=jnp.asarray(inst_lo), inst_hi=jnp.asarray(inst_hi),
         inst_m=jnp.asarray(inst_m), inst_minv=jnp.asarray(inst_minv),

@@ -282,7 +282,11 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     arena = arena.replace(w=w_now, t=jnp.where(mask, hit.t, arena.t))
 
     # ---- shadow spawn per light (generateShadowRays, cpp:320-358) --------
-    from gravit_tpu.scene.material import shade as shade_model
+    from gravit_tpu.scene.material import shade_full
+
+    embree_params = (scene.tri_eta[prim], scene.tri_k[prim],
+                     scene.tri_rough[prim], scene.tri_hsc[prim],
+                     scene.tri_bs[prim], scene.tri_hsf[prim])
 
     t_shadow = (1.0 - 16.0 * RAY_EPSILON) * t_hit
     s_origin = arena.origin + arena.direction * t_shadow[:, None]
@@ -331,8 +335,8 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         wi = wi / _safe_norm(wi, keepdims=True)
         ndotl = jnp.maximum(0.0, jnp.sum(normal * wi, axis=-1))
         valid = mask & (ndotl > 0.0) & jnp.any(li_contrib != 0.0, axis=-1)
-        c = shade_model(mat_type, kd, ks, alpha, arena.direction, w_now,
-                        normal, wi)
+        c = shade_full(mat_type, kd, ks, alpha, embree_params,
+                       arena.direction, w_now, normal, wi)
         c = jnp.clip(c * li_contrib, 0.0, 1.0)
 
         sl = slice(li * n, (li + 1) * n)

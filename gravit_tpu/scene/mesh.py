@@ -123,6 +123,14 @@ class Mesh:
             mat_kd=np.array([m.kd for m in mats], np.float32),
             mat_ks=np.array([m.ks for m in mats], np.float32),
             mat_alpha=np.array([m.alpha for m in mats], np.float32),
+            mat_eta=np.array([m.eta for m in mats], np.float32),
+            mat_k=np.array([m.k for m in mats], np.float32),
+            mat_rough=np.array([m.roughness for m in mats], np.float32),
+            mat_hsc=np.array([m.horizon_scatter_color for m in mats],
+                             np.float32),
+            mat_bs=np.array([m.back_scattering for m in mats], np.float32),
+            mat_hsf=np.array([m.horizon_scatter_falloff for m in mats],
+                             np.float32),
             bounds_min=self.bounds_min,
             bounds_max=self.bounds_max,
         )
@@ -149,6 +157,12 @@ class CompiledMesh:
     mat_kd: np.ndarray              # (T, 3)
     mat_ks: np.ndarray              # (T, 3)
     mat_alpha: np.ndarray           # (T,)
+    mat_eta: np.ndarray             # (T, 3) embree-metal
+    mat_k: np.ndarray               # (T, 3)
+    mat_rough: np.ndarray           # (T,)
+    mat_hsc: np.ndarray             # (T, 3) embree-velvet
+    mat_bs: np.ndarray              # (T,)
+    mat_hsf: np.ndarray             # (T,)
     bounds_min: np.ndarray          # (3,)
     bounds_max: np.ndarray          # (3,)
 

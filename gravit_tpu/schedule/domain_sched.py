@@ -116,6 +116,9 @@ def _pad_scene_tris(sd: SceneData, t_max: int) -> SceneData:
             [sd.tri_mesh, jnp.full((pad,), -2, jnp.int32)]),
         tri_mat_type=padz(sd.tri_mat_type), tri_kd=padz(sd.tri_kd),
         tri_ks=padz(sd.tri_ks), tri_alpha=padz(sd.tri_alpha),
+        tri_eta=padz(sd.tri_eta), tri_k=padz(sd.tri_k),
+        tri_rough=padz(sd.tri_rough), tri_hsc=padz(sd.tri_hsc),
+        tri_bs=padz(sd.tri_bs), tri_hsf=padz(sd.tri_hsf),
         faces=jnp.concatenate([sd.faces, jnp.zeros((pad, 3), jnp.int32)]),
     )
 

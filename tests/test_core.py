@@ -95,3 +95,67 @@ def test_mesh_normals_and_degenerate_faces():
     cm = m.finish()
     np.testing.assert_allclose(cm.geom_normal[0], [0, 0, 1], atol=1e-6)
     np.testing.assert_allclose(cm.shading_normals[0, 0], [0, 0, 1], atol=1e-6)
+
+
+def test_embree_material_family():
+    """Metal/velvet/matte BRDFs evaluate finitely and sensibly."""
+    import jax.numpy as jnp
+    from gravit_tpu.scene.material import MaterialType, eval_embree
+
+    n = 4
+    normal = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    wi = jnp.tile(jnp.asarray([[0.0, 0.6, 0.8]]), (n, 1))
+    wo = jnp.tile(jnp.asarray([[0.0, -0.6, 0.8]]), (n, 1))
+    kd = jnp.full((n, 3), 0.5)
+    ks = jnp.full((n, 3), 0.9)
+    eta = jnp.tile(jnp.asarray([[0.19, 1.45, 1.50]]), (n, 1))
+    kk = jnp.tile(jnp.asarray([[3.06, 2.40, 1.88]]), (n, 1))
+    mt = jnp.asarray([int(MaterialType.EMBREE_MATERIAL_MATTE),
+                      int(MaterialType.EMBREE_MATERIAL_VELVET),
+                      int(MaterialType.EMBREE_MATERIAL_METAL),
+                      int(MaterialType.EMBREE_MATERIAL_METAL)])
+    out = eval_embree(mt, ks, eta, kk, jnp.full((n,), 0.05),
+                      jnp.full((n, 3), 0.4), jnp.full((n,), 2.0),
+                      jnp.full((n,), 5.0), wo, normal, wi, kd)
+    a = np.asarray(out)
+    assert np.isfinite(a).all()
+    # matte row: kd * cos(theta_i) = 0.5*0.8
+    np.testing.assert_allclose(a[0], 0.5 * 0.8, rtol=1e-5)
+    # metal reflects mostly at the mirror direction: nonzero here
+    assert a[2].sum() > 0
+
+
+def test_embree_metal_render():
+    """Full render with a metal bunny-less scene: finite, lit."""
+    import scenes
+    from gravit_tpu.render.scene_build import build_scene, Instance
+    from gravit_tpu.render.tracer import make_arena, trace_image
+    from gravit_tpu.scene.light import point_light
+    from gravit_tpu.scene.material import Material, MaterialType
+    from gravit_tpu.core.math3d import mat4_translate_scale
+
+    cone = scenes.cone_mesh()
+    m = scenes.Mesh() if False else None
+    import numpy as _np
+    mesh_obj = scenes.cube_mesh()
+    # rebuild cube with metal material
+    from gravit_tpu.scene.mesh import Mesh as _Mesh
+    mm = _Mesh()
+    mm.add_vertices(_np.asarray(scenes.CUBE_VERTS))
+    mm.add_faces(_np.asarray(scenes.CUBE_FACES))
+    mm.material = Material(type=int(MaterialType.EMBREE_MATERIAL_METAL),
+                           ks=(0.9, 0.7, 0.4))
+    metal_cube = mm.finish()
+    scene = build_scene(
+        [metal_cube],
+        [Instance(mesh_id=0, m=mat4_translate_scale((0, 0, 0),
+                                                    (0.4, 0.4, 0.4)))],
+        [point_light((2.0, 2.0, 0.0), (1.0, 1.0, 1.0))])
+    from gravit_tpu.scene.camera import PerspectiveCamera
+    cam = PerspectiveCamera(eye=(2.0, 1.0, 0.0), focus=(0.0, 0.0, 0.0),
+                            up=(0.0, 1.0, 0.0), fov=np.pi / 4,
+                            film_width=24, film_height=24)
+    arena = make_arena(cam.generate_rays(), 1)
+    fb = np.asarray(trace_image(scene, arena, 24, 24, max_rounds=16))
+    assert np.isfinite(fb).all()
+    assert (fb[:, :3].sum(-1) > 0).sum() > 10
