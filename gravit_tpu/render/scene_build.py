@@ -75,6 +75,8 @@ class SceneData:
     num_meshes: int = struct.field(pytree_node=False, default=0)
     mesh_tri_offset: tuple = struct.field(pytree_node=False, default=())
     mesh_tri_count: tuple = struct.field(pytree_node=False, default=())
+    has_embree_materials: bool = struct.field(pytree_node=False,
+                                              default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -203,6 +205,7 @@ def build_scene(meshes: Sequence[CompiledMesh],
         num_meshes=len(meshes),
         mesh_tri_offset=tuple(offsets),
         mesh_tri_count=tuple(counts),
+        has_embree_materials=bool(np.any(np.asarray(tri_mat_type) >= 3)),
     )
 
 

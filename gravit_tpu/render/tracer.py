@@ -284,9 +284,11 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     # ---- shadow spawn per light (generateShadowRays, cpp:320-358) --------
     from gravit_tpu.scene.material import shade_full
 
-    embree_params = (scene.tri_eta[prim], scene.tri_k[prim],
-                     scene.tri_rough[prim], scene.tri_hsc[prim],
-                     scene.tri_bs[prim], scene.tri_hsf[prim])
+    embree_params = None
+    if scene.has_embree_materials:
+        embree_params = (scene.tri_eta[prim], scene.tri_k[prim],
+                         scene.tri_rough[prim], scene.tri_hsc[prim],
+                         scene.tri_bs[prim], scene.tri_hsf[prim])
 
     t_shadow = (1.0 - 16.0 * RAY_EPSILON) * t_hit
     s_origin = arena.origin + arena.direction * t_shadow[:, None]

@@ -95,7 +95,9 @@ def partition_scene(meshes: Sequence[CompiledMesh],
         sd = sd.replace(inst_mesh=inst_mesh, inst_lo=true_lo,
                         inst_hi=true_hi,
                         num_meshes=max(x.num_meshes for x, _ in per_dev),
-                        mesh_tri_offset=(), mesh_tri_count=())
+                        mesh_tri_offset=(), mesh_tri_count=(),
+                        has_embree_materials=any(
+                            x.has_embree_materials for x, _ in per_dev))
         padded.append(sd)
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
