@@ -112,13 +112,39 @@ class Renderer:
                              db.group("Films").children[sched["film"]])
 
         if sched["volume"]:
+            from gravit_tpu.api import Schedule
             from gravit_tpu.render.tracer import make_arena
             from gravit_tpu.render.volume_tracer import trace_volume
 
             scene = self._volume_scene(db)
             arena = make_arena(camera.generate_rays(volume=True), 1)
-            fb = trace_volume(scene, arena, camera.film_width,
-                              camera.film_height)
+            n_dev = len(jax.devices())
+            stype = int(sched["type"])
+            same_shape = len({s.shape for s in scene.vol_samples}) == 1
+            if stype in (int(Schedule.Domain), int(Schedule.AsyncDomain)) \
+                    and n_dev > 1 and same_shape \
+                    and scene.num_instances > 1:
+                from jax.sharding import Mesh
+
+                from gravit_tpu.schedule.volume_domain import (
+                    partition_volume_scene, trace_volume_domain)
+
+                vol_nodes = [n for n in db.group("Data").children.values()
+                             if n.type == "Volume"]
+                volumes = [n["ptr"] for n in vol_nodes]
+                name2id = {n.name: i for i, n in enumerate(vol_nodes)}
+                instances = [(name2id[n["meshRef"]], n["mat"]) for n in
+                             db.group("Instances").children.values()]
+                jmesh = Mesh(np.array(jax.devices()).reshape(n_dev),
+                             ("domains",))
+                stacked, owners = partition_volume_scene(
+                    volumes, instances, n_dev)
+                fb = trace_volume_domain(
+                    stacked, owners, arena, camera.film_width,
+                    camera.film_height, jmesh)
+            else:
+                fb = trace_volume(scene, arena, camera.film_width,
+                                  camera.film_height)
             self._fb[name] = fb
             return
 

@@ -73,3 +73,38 @@ def test_api_volume_render():
     fb = np.asarray(Renderer.instance().framebuffer("vr"))
     assert np.isfinite(fb).all()
     assert fb[:, :3].sum() > 0
+
+
+def test_api_volume_domain_multidevice():
+    """Volume Domain schedule through the api on 8 virtual devices."""
+    import jax
+    from gravit_tpu.scene.volume import wavelet_volume
+    from gravit_tpu.scene.volume import Volume
+
+    if len(jax.devices()) < 2:
+        return
+    Renderer.reset()
+    api.gvtInit()
+    full = wavelet_volume(32)
+    s = full.samples
+    half = 16
+    left = s[:, :, :half + 1]
+    right = np.concatenate([s[:, :, half:], s[:, :, -1:]], axis=2)
+    for i, (brick, ox) in enumerate([(left, 0.0), (right, 16.0)]):
+        name = f"b{i}"
+        api.createVolume(name)
+        api._db().find(name)["tf"] = full.tf
+        api.addVolumeSamples(name, brick.reshape(-1),
+                             [brick.shape[2], brick.shape[1],
+                              brick.shape[0]],
+                             [ox, 0.0, 0.0], [1.0, 1.0, 1.0], 1.0)
+        api.addInstance(f"i{i}", name, np.eye(4, dtype=np.float32).flatten())
+    api.addCamera("cam", [128.0, 128.0, 128.0], [15.5, 15.5, 15.5],
+                  [0.0, 0.0, 1.0], 30 * np.pi / 180, 1, 1, 0.5)
+    api.addFilm("film", 24, 24, "out")
+    api.addRenderer("vr", int(api.Adapter.Pvol), int(api.Schedule.Domain),
+                    "cam", "film", volume=True)
+    api.render("vr")
+    fb = np.asarray(Renderer.instance().framebuffer("vr"))
+    assert np.isfinite(fb).all()
+    assert fb[:, :3].sum() > 0
