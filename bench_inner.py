@@ -36,10 +36,14 @@ def main():
         samples=1, max_depth=1, jitter_window=0.0)
     arena0 = make_arena(cam.generate_rays(), scene.num_lights)
 
+    from gravit_tpu.render.tracer import trace_image_stepped
+
     def frame(i):
+        # stepped dispatch: one bounded program per round (a hung frame
+        # cannot monopolize the device queue)
         arena = arena0.replace(origin=arena0.origin + 1.7e-6 * (i + 1))
-        return trace_image(scene, arena, WIDTH, HEIGHT, max_rounds=16,
-                           accel=accel)
+        return trace_image_stepped(scene, arena, WIDTH, HEIGHT,
+                                   max_rounds=16, accel=accel)
 
     for i in range(WARMUP):
         fb = frame(1000 + i)

@@ -32,13 +32,18 @@ FLT_MAX = float(jnp.finfo(jnp.float32).max)
 BIG = 1e30
 
 
-def _traverse_kernel(block_root, ox, oy, oz, dx, dy, dz, valid,
+def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
                      bounds, meta, tri,
                      t_out, prim_out, u_out, v_out,
                      stack):
-    """One grid step = one PACKET-ray block."""
+    """One grid step = one PACKET-ray block.
+
+    `max_iters` hard-bounds the traversal loop: even corrupted node data
+    cannot spin the chip forever (a hung Pallas kernel wedges the whole
+    TPU runtime)."""
     i = pl.program_id(0)
     root = block_root[i]
+    iter_cap = max_iters[0]
 
     o = (ox[...], oy[...], oz[...])
     d = (dx[...], dy[...], dz[...])
@@ -59,7 +64,7 @@ def _traverse_kernel(block_root, ox, oy, oz, dx, dy, dz, valid,
     vv = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(SUB))
 
     def body(carry):
-        sp, t_best, prim, uu, vv = carry
+        it, sp, t_best, prim, uu, vv = carry
         sp = sp - 1
         node = stack[sp]
 
@@ -176,16 +181,18 @@ def _traverse_kernel(block_root, ox, oy, oz, dx, dy, dz, valid,
             lambda *a: jax.lax.cond(is_leaf, do_leaf, do_inner, *a),
             skip,
             t_best, prim, uu, vv)
-        return sp2, t_best, prim, uu, vv
+        # stack-overflow guard: clamp so OOB writes can never happen
+        sp2 = jnp.minimum(sp2, STACK_DEPTH - 2)
+        return it + 1, sp2, t_best, prim, uu, vv
 
     def cond(carry):
-        return carry[0] > 0
+        return (carry[0] < iter_cap) & (carry[1] > 0)
 
     @pl.when(root >= 0)
     def _():
         stack[0] = root
-        _, tb, pr, ub, vb = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), t_best, prim, uu, vv))
+        _, _, tb, pr, ub, vb = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(1), t_best, prim, uu, vv))
         t_out[...] = jnp.concatenate(tb, axis=0)
         prim_out[...] = jnp.concatenate(pr, axis=0)
         u_out[...] = jnp.concatenate(ub, axis=0)
@@ -235,7 +242,7 @@ def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
                                   memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[ray_spec] * 7 + [full(bounds), full(meta), full(tri)],
         out_specs=[ray_spec] * 4,
@@ -252,7 +259,8 @@ def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
             jax.ShapeDtypeStruct(shape2d, jnp.float32),
         ],
         interpret=interpret,
-    )(block_root, *args, bounds, meta, tri)
+    )(jnp.asarray([4 * bounds.shape[0] + 64], jnp.int32), block_root,
+      *args, bounds, meta, tri)
 
     miss = t.reshape(n) >= FLT_MAX
     return (jnp.where(miss, FLT_MAX, t.reshape(n)),
