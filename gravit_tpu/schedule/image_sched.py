@@ -24,25 +24,30 @@ from gravit_tpu.render.tracer import make_arena, trace_image
 
 def trace_image_sharded(scene: SceneData, arena: RayArena, width: int,
                         height: int, mesh: Mesh, axis: str = "rays",
-                        max_rounds: int = 64) -> jax.Array:
+                        max_rounds: int = 64, accel=None) -> jax.Array:
     """Trace with rays sharded along `axis` of `mesh`; returns replicated fb.
 
-    Requires arena.capacity divisible by the axis size.
+    Requires arena.capacity divisible by the axis size (and by the Pallas
+    PACKET when accel is given).
     """
     scene_specs = jax.tree.map(lambda _: P(), scene)
     arena_specs = jax.tree.map(lambda _: P(axis), arena)
+    if accel is None:
+        accel_specs = None
+    else:
+        accel_specs = jax.tree.map(lambda _: P(), accel)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(scene_specs, arena_specs), out_specs=P(),
+        in_specs=(scene_specs, arena_specs, accel_specs), out_specs=P(),
         check_vma=False,
     )
-    def run(scene_l, arena_l):
+    def run(scene_l, arena_l, accel_l):
         fb = trace_image(scene_l, arena_l, width, height,
-                         max_rounds=max_rounds)
+                         max_rounds=max_rounds, accel=accel_l)
         return jax.lax.psum(fb, axis)
 
-    fb = run(scene, arena)
+    fb = run(scene, arena, accel)
     from gravit_tpu.scene.image import clamp_rgb
     return clamp_rgb(fb)
 
