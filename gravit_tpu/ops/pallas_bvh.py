@@ -35,12 +35,14 @@ BIG = 1e30
 def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
                      bounds, meta, tri,
                      t_out, prim_out, u_out, v_out,
-                     stack):
+                     stack, *, any_hit: bool = False):
     """One grid step = one PACKET-ray block.
 
     `max_iters` hard-bounds the traversal loop: even corrupted node data
     cannot spin the chip forever (a hung Pallas kernel wedges the whole
-    TPU runtime)."""
+    TPU runtime). With `any_hit`, traversal stops as soon as every live
+    lane has some hit (occlusion testing: rtcOccluded semantics) — the
+    reported hit is then not necessarily the closest."""
     i = pl.program_id(0)
     root = block_root[i]
     iter_cap = max_iters[0]
@@ -186,7 +188,14 @@ def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
         return it + 1, sp2, t_best, prim, uu, vv
 
     def cond(carry):
-        return (carry[0] < iter_cap) & (carry[1] > 0)
+        base = (carry[0] < iter_cap) & (carry[1] > 0)
+        if any_hit:
+            pr = carry[3]
+            unresolved = jnp.bool_(False)
+            for rb in range(SUB):
+                unresolved |= jnp.any(live0[rb:rb + 1, :] & (pr[rb] < 0))
+            base &= unresolved
+        return base
 
     @pl.when(root >= 0)
     def _():
@@ -212,9 +221,9 @@ def _default_interpret() -> bool:
     return os.environ.get("GRAVIT_PALLAS_INTERPRET", "0") == "1"
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "any_hit"))
 def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None, any_hit: bool = False):
     if interpret is None:
         interpret = _default_interpret()
     """Closest-hit for N rays against the flat BVH.
@@ -250,7 +259,7 @@ def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
     )
 
     t, prim, u, v = pl.pallas_call(
-        _traverse_kernel,
+        functools.partial(_traverse_kernel, any_hit=any_hit),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(shape2d, jnp.float32),

@@ -101,3 +101,23 @@ def test_pallas_kernel_interpret_matches_brute(n_tris):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(u)[hit], np.asarray(bh.u)[hit],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_any_hit_mode():
+    """any_hit mode agrees with closest-hit on WHETHER each ray hits."""
+    rng = np.random.default_rng(5)
+    cm = random_mesh(rng, 300)
+    sbvh = build_scene_bvh([cm])
+    n = PACKET
+    o = np.tile(np.array([[0.0, 0.0, 6.0]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.3
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    valid = np.ones((n,), np.int32)
+    block_root = np.zeros((n // PACKET,), np.int32)
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(valid),
+            jnp.asarray(block_root), sbvh.bounds, sbvh.meta, sbvh.tri)
+    _, p_closest, _, _ = bvh_intersect(*args, interpret=True)
+    _, p_any, _, _ = bvh_intersect(*args, interpret=True, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(p_closest) >= 0,
+                                  np.asarray(p_any) >= 0)
