@@ -148,11 +148,14 @@ def _cosine_hemisphere(normal: jax.Array, xi: jax.Array) -> jax.Array:
     return d / _safe_norm(d, keepdims=True)
 
 
-def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued):
-    """Closest-hit via the Pallas packet-BVH kernel, one pass per mesh.
+def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
+                   is_shadow=None):
+    """Hit query via the Pallas packet-BVH kernel, per-mesh passes.
 
     Blocks whose lanes contain no rays for mesh m terminate at the root,
-    so the per-mesh passes cost ~one node test for foreign blocks.
+    so the per-mesh passes cost ~one node test for foreign blocks. Shadow
+    lanes (is_shadow) run a separate ANY-HIT pass (rtcOccluded early-exit,
+    EmbreeMeshAdapter.cpp:364-385) — only hit/miss matters for them.
     """
     from gravit_tpu.ops.intersect import Hit
     from gravit_tpu.ops.pallas_bvh import PACKET, bvh_intersect
@@ -165,21 +168,29 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued):
         u=jnp.zeros((n,), jnp.float32),
         v=jnp.zeros((n,), jnp.float32),
     )
-    for m in range(accel.num_meshes):
-        valid = queued & (ray_mesh == m)
+
+    def one_pass(best, valid, any_hit):
         has = jnp.any(valid.reshape(nb, PACKET), axis=1)
         block_root = jnp.where(has, accel.mesh_root[m], -1).astype(jnp.int32)
         t, prim, u, v = bvh_intersect(
             o_obj, d_obj, valid.astype(jnp.int32), block_root,
-            accel.bounds, accel.meta, accel.tri)
+            accel.bounds, accel.meta, accel.tri, any_hit=any_hit)
         gprim = jnp.where(prim >= 0,
                           accel.leaf2global[jnp.maximum(prim, 0)], -1)
-        best = Hit(
+        return Hit(
             t=jnp.where(valid, t, best.t),
             prim=jnp.where(valid, gprim, best.prim),
             u=jnp.where(valid, u, best.u),
             v=jnp.where(valid, v, best.v),
         )
+
+    for m in range(accel.num_meshes):
+        mesh_lanes = queued & (ray_mesh == m)
+        if is_shadow is None:
+            best = one_pass(best, mesh_lanes, False)
+        else:
+            best = one_pass(best, mesh_lanes & ~is_shadow, False)
+            best = one_pass(best, mesh_lanes & is_shadow, True)
     return best
 
 
@@ -192,7 +203,9 @@ def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
     o_obj, d_obj, ray_mesh = to_object_space(scene, arena)
     queued = arena.active & (arena.inst >= 0) & (ray_mesh >= 0)
     if accel is not None:
-        hit = _intersect_bvh(scene, accel, o_obj, d_obj, ray_mesh, queued)
+        hit = _intersect_bvh(
+            scene, accel, o_obj, d_obj, ray_mesh, queued,
+            is_shadow=(arena.type == int(RayType.SHADOW)))
     else:
         hit = intersect_closest(
             o_obj, d_obj, ray_mesh, queued,
