@@ -162,6 +162,26 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
 
     n = o_obj.shape[0]
     nb = n // PACKET
+
+    # active-lane compaction: stable-sort lanes by (mesh, shadow-ness),
+    # dead lanes last, so live rays pack into few contiguous blocks; the
+    # per-mesh passes then traverse ~ceil(live/PACKET) blocks instead of
+    # every block that happens to contain a stray live lane (late rounds
+    # have <10% scattered occupancy). The sort/gather is cheap elementwise
+    # work; the saved traversal is the expensive part.
+    shadow_key = (jnp.zeros((n,), jnp.int32) if is_shadow is None
+                  else is_shadow.astype(jnp.int32))
+    key = jnp.where(queued, ray_mesh * 2 + shadow_key, jnp.int32(2 ** 30))
+    perm = jnp.argsort(key, stable=True)
+    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    o_obj = o_obj[perm]
+    d_obj = d_obj[perm]
+    ray_mesh = ray_mesh[perm]
+    queued = queued[perm]
+    if is_shadow is not None:
+        is_shadow = is_shadow[perm]
+
     best = Hit(
         t=jnp.full((n,), FLT_MAX, jnp.float32),
         prim=jnp.full((n,), -1, jnp.int32),
@@ -191,7 +211,9 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
         else:
             best = one_pass(best, mesh_lanes & ~is_shadow, False)
             best = one_pass(best, mesh_lanes & is_shadow, True)
-    return best
+    # unsort back to arena lane order
+    return Hit(t=best.t[inv_perm], prim=best.prim[inv_perm],
+               u=best.u[inv_perm], v=best.v[inv_perm])
 
 
 def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
