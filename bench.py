@@ -21,7 +21,7 @@ import sys
 
 ROOT = pathlib.Path(__file__).resolve().parent
 BASELINE_RAYS_PER_S = 8.0e4
-TIMEOUT_S = 420
+TIMEOUT_S = 300
 
 
 def _run(mode_flag):
