@@ -35,7 +35,8 @@ BIG = 1e30
 def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
                      bounds, meta, tri,
                      t_out, prim_out, u_out, v_out,
-                     stack, *, any_hit: bool = False):
+                     stack, tri_scratch=None, tri_sem=None, *,
+                     any_hit: bool = False, tri_in_hbm: bool = False):
     """One grid step = one PACKET-ray block.
 
     `max_iters` hard-bounds the traversal loop: even corrupted node data
@@ -94,7 +95,17 @@ def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
             def chunk_body(c, carry):
                 t_best, prim, uu, vv = carry
                 base = start + c * LEAF_PAD
-                trows = tri[pl.ds(base, LEAF_PAD), :]   # (8, 12)
+                if tri_in_hbm:
+                    # triangles live in HBM: DMA the leaf slice into VMEM
+                    # scratch (meshes beyond the ~16MB VMEM budget)
+                    dma = pltpu.make_async_copy(
+                        tri.at[pl.ds(base, LEAF_PAD), :], tri_scratch,
+                        tri_sem)
+                    dma.start()
+                    dma.wait()
+                    trows = tri_scratch[...]
+                else:
+                    trows = tri[pl.ds(base, LEAF_PAD), :]   # (8, 12)
                 v0x = trows[:, 0:1]
                 v0y = trows[:, 1:2]
                 v0z = trows[:, 2:3]
@@ -221,11 +232,20 @@ def _default_interpret() -> bool:
     return os.environ.get("GRAVIT_PALLAS_INTERPRET", "0") == "1"
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "any_hit"))
+# VMEM budget for the resident triangle table; larger tables stay in HBM
+# with per-leaf DMA
+TRI_VMEM_LIMIT_BYTES = 6 * 1024 * 1024
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "any_hit", "tri_in_hbm"))
 def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
-                  interpret: bool | None = None, any_hit: bool = False):
+                  interpret: bool | None = None, any_hit: bool = False,
+                  tri_in_hbm: bool | None = None):
     if interpret is None:
         interpret = _default_interpret()
+    if tri_in_hbm is None:
+        tri_in_hbm = tri.size * 4 > TRI_VMEM_LIMIT_BYTES
     """Closest-hit for N rays against the flat BVH.
 
     o, d:        (N, 3) f32 object-space rays; N % PACKET == 0, pre-sorted so
@@ -249,17 +269,24 @@ def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0, 0),
                                   memory_space=pltpu.VMEM)
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if tri_in_hbm
+                else full(tri))
+    scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
+    if tri_in_hbm:
+        scratch += [pltpu.VMEM((LEAF_PAD, 12), jnp.float32),
+                    pltpu.SemaphoreType.DMA]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
-        in_specs=[ray_spec] * 7 + [full(bounds), full(meta), full(tri)],
+        in_specs=[ray_spec] * 7 + [full(bounds), full(meta), tri_spec],
         out_specs=[ray_spec] * 4,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=scratch,
     )
 
     t, prim, u, v = pl.pallas_call(
-        functools.partial(_traverse_kernel, any_hit=any_hit),
+        functools.partial(_traverse_kernel, any_hit=any_hit,
+                          tri_in_hbm=tri_in_hbm),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(shape2d, jnp.float32),

@@ -121,3 +121,23 @@ def test_pallas_any_hit_mode():
     _, p_any, _, _ = bvh_intersect(*args, interpret=True, any_hit=True)
     np.testing.assert_array_equal(np.asarray(p_closest) >= 0,
                                   np.asarray(p_any) >= 0)
+
+
+def test_pallas_tri_in_hbm_matches_vmem():
+    """HBM-resident triangles with per-leaf DMA give identical results."""
+    rng = np.random.default_rng(9)
+    cm = random_mesh(rng, 500)
+    sbvh = build_scene_bvh([cm])
+    n = PACKET
+    o = np.tile(np.array([[0.0, 0.0, 6.0]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.3
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    valid = np.ones((n,), np.int32)
+    block_root = np.zeros((n // PACKET,), np.int32)
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(valid),
+            jnp.asarray(block_root), sbvh.bounds, sbvh.meta, sbvh.tri)
+    t0, p0, u0, v0 = bvh_intersect(*args, interpret=True, tri_in_hbm=False)
+    t1, p1, u1, v1 = bvh_intersect(*args, interpret=True, tri_in_hbm=True)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1))
