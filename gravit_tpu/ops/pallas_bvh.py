@@ -269,7 +269,7 @@ def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0, 0),
                                   memory_space=pltpu.VMEM)
-    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if tri_in_hbm
+    tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if tri_in_hbm
                 else full(tri))
     scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
     if tri_in_hbm:
