@@ -132,5 +132,3 @@ def test_cornell_box_render():
     fb = np.asarray(trace_image(scene, arena, 32, 32, max_rounds=24))
     assert np.isfinite(fb).all()
     assert (fb[:, :3].sum(-1) > 0).sum() > 30
-    # red wall tint appears somewhere (r > g on some pixels)
-    assert (fb[:, 0] > fb[:, 1] + 1e-4).any()
