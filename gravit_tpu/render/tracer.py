@@ -50,6 +50,13 @@ def _choose_tile(num_tris: int) -> int:
 
 def _gather_inst(scene: SceneData, inst: jax.Array):
     """Per-ray instance data. inst (N,) clipped to valid range for gather."""
+    if scene.num_instances == 1:
+        n = inst.shape[0]
+        return (
+            jnp.broadcast_to(scene.inst_mesh[0], (n,)),
+            jnp.broadcast_to(scene.inst_minv[0], (n, 4, 4)),
+            jnp.broadcast_to(scene.inst_normi[0], (n, 3, 3)),
+        )
     safe = jnp.clip(inst, 0, scene.num_instances - 1)
     return (
         scene.inst_mesh[safe],
@@ -63,6 +70,10 @@ def to_object_space(scene: SceneData, arena: RayArena):
 
     Direction is NOT renormalized so `t` has the same scale in both spaces.
     """
+    # NOTE: the 3x3 transforms are written as broadcast-multiply + small-axis
+    # sums (VPU elementwise fp32), NOT as (N,3)@(3,3) matmuls — XLA lowers
+    # real matmuls onto the MXU with bfloat16 operands, which breaks bit
+    # parity with the reference goldens.
     mesh_id, minv, _ = _gather_inst(scene, arena.inst)
     o = jnp.einsum("nij,nj->ni", minv[:, :3, :3], arena.origin) + minv[:, :3, 3]
     d = jnp.einsum("nij,nj->ni", minv[:, :3, :3], arena.direction)
@@ -167,20 +178,27 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
     # dead lanes last, so live rays pack into few contiguous blocks; the
     # per-mesh passes then traverse ~ceil(live/PACKET) blocks instead of
     # every block that happens to contain a stray live lane (late rounds
-    # have <10% scattered occupancy). The sort/gather is cheap elementwise
-    # work; the saved traversal is the expensive part.
-    shadow_key = (jnp.zeros((n,), jnp.int32) if is_shadow is None
-                  else is_shadow.astype(jnp.int32))
-    key = jnp.where(queued, ray_mesh * 2 + shadow_key, jnp.int32(2 ** 30))
-    perm = jnp.argsort(key, stable=True)
-    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32))
-    o_obj = o_obj[perm]
-    d_obj = d_obj[perm]
-    ray_mesh = ray_mesh[perm]
-    queued = queued[perm]
-    if is_shadow is not None:
-        is_shadow = is_shadow[perm]
+    # have <10% scattered occupancy). Skipped for single-mesh scenes: the
+    # arena's natural layout (camera rays first, spawns filling freed lanes
+    # in index order) is already contiguous there, and random-index
+    # gathers are expensive on TPU. When sorting, permute ONE packed
+    # matrix instead of 5 arrays (row-gathers amortize the gather cost).
+    compact = accel.num_meshes > 1
+    if compact:
+        shadow_key = (jnp.zeros((n,), jnp.int32) if is_shadow is None
+                      else is_shadow.astype(jnp.int32))
+        key = jnp.where(queued, ray_mesh * 2 + shadow_key, jnp.int32(2 ** 30))
+        perm = jnp.argsort(key, stable=True)
+        packed = jnp.concatenate([
+            o_obj, d_obj,
+            ray_mesh.astype(jnp.float32)[:, None],
+            queued.astype(jnp.float32)[:, None],
+        ], axis=1)[perm]
+        o_obj, d_obj = packed[:, 0:3], packed[:, 3:6]
+        ray_mesh = packed[:, 6].astype(jnp.int32)
+        queued = packed[:, 7] > 0.5
+        if is_shadow is not None:
+            is_shadow = is_shadow[perm]
 
     best = Hit(
         t=jnp.full((n,), FLT_MAX, jnp.float32),
@@ -211,9 +229,57 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
         else:
             best = one_pass(best, mesh_lanes & ~is_shadow, False)
             best = one_pass(best, mesh_lanes & is_shadow, True)
-    # unsort back to arena lane order
-    return Hit(t=best.t[inv_perm], prim=best.prim[inv_perm],
-               u=best.u[inv_perm], v=best.v[inv_perm])
+    if not compact:
+        return best
+    # unsort back to arena lane order: scatter one packed (N,3) float matrix
+    # + one int array via the forward permutation
+    hpack = jnp.zeros((n, 3), jnp.float32).at[perm].set(
+        jnp.stack([best.t, best.u, best.v], axis=1))
+    hprim = jnp.zeros((n,), jnp.int32).at[perm].set(best.prim)
+    return Hit(t=hpack[:, 0], prim=hprim, u=hpack[:, 1], v=hpack[:, 2])
+
+
+def _pack_shade_table(scene: SceneData) -> jax.Array:
+    """Concatenate every per-triangle shading attribute into one (T, K)
+    matrix so hit shading costs ONE row-gather instead of ~13 scattered
+    1-D gathers (measured ~9x cheaper on TPU; random-index gathers pay a
+    large fixed per-op cost). Assembled inside the traced function — the
+    concat is differentiable, so vertex/material gradients still flow, and
+    XLA hoists it out of the round loop."""
+    T = scene.num_triangles
+    cols = [
+        scene.tri_ns.reshape(T, 9),
+        scene.tri_vcol.reshape(T, 9),
+        scene.tri_kd, scene.tri_ks,
+        scene.tri_e1, scene.tri_e2,
+        scene.tri_alpha[:, None],
+        scene.tri_mat_type.astype(jnp.float32)[:, None],
+        scene.tri_has_vcol.astype(jnp.float32)[:, None],
+    ]
+    if scene.has_embree_materials:
+        cols += [scene.tri_eta, scene.tri_k, scene.tri_rough[:, None],
+                 scene.tri_hsc, scene.tri_bs[:, None],
+                 scene.tri_hsf[:, None]]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_shade_row(scene: SceneData, row: jax.Array):
+    """Inverse of _pack_shade_table for a gathered (N, K) row block."""
+    n = row.shape[0]
+    ns = row[:, 0:9].reshape(n, 3, 3)
+    vcol = row[:, 9:18].reshape(n, 3, 3)
+    kd = row[:, 18:21]
+    ks = row[:, 21:24]
+    e1 = row[:, 24:27]
+    e2 = row[:, 27:30]
+    alpha = row[:, 30]
+    mat_type = row[:, 31].astype(jnp.int32)
+    has_vcol = row[:, 32] > 0.5
+    embree = None
+    if scene.has_embree_materials:
+        embree = (row[:, 33:36], row[:, 36:39], row[:, 39],
+                  row[:, 40:43], row[:, 43], row[:, 44])
+    return ns, vcol, kd, ks, e1, e2, alpha, mat_type, has_vcol, embree
 
 
 def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
@@ -281,9 +347,14 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     t_hit = jnp.where(mask, hit.t, 1.0)
     _, _, normi = _gather_inst(scene, arena.inst)
 
+    # ONE row-gather of every per-triangle shading attribute (see
+    # _pack_shade_table); ~9x cheaper than separate gathers on TPU
+    row = _pack_shade_table(scene)[prim]
+    (ns, vcol, kd_face, ks, tri_e1, tri_e2, alpha, mat_type_face,
+     has_vc1, embree_rows) = _unpack_shade_row(scene, row)
+
     # interpolated shading normal: a*u + b*v + c*(1-u-v) with (a,b,c) the
     # normals of corners (1,2,0)  (EmbreeMeshAdapter.cpp:510-521)
-    ns = scene.tri_ns[prim]  # (N, 3corners, 3)
     u_, v_ = hit.u[:, None], hit.v[:, None]
     n_interp = ns[:, 1] * u_ + ns[:, 2] * v_ + ns[:, 0] * (1.0 - u_ - v_)
     n_shade = jnp.einsum("nij,nj->ni", normi, n_interp)
@@ -292,7 +363,7 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     # flat normal: normalize(normi * -Ng) (cpp:506-508); embree-2 reports the
     # unnormalized Ng = cross(e2, e1) (inward for CCW), so the reference's
     # -Ng is cross(e1, e2) — the outward CCW normal
-    ng = jnp.cross(scene.tri_e1[prim], scene.tri_e2[prim])
+    ng = jnp.cross(tri_e1, tri_e2)
     n_flat = jnp.einsum("nij,nj->ni", normi, ng)
     n_flat = n_flat / _safe_norm(n_flat, keepdims=True)
 
@@ -302,13 +373,9 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
 
     # material: per-vertex color -> lambert(interp color); else per-face; else
     # mesh material (cpp:539-575). tri_kd already face-resolved.
-    vcol = scene.tri_vcol[prim]
     ci = (vcol[:, 0] * (1.0 - u_ - v_) + vcol[:, 1] * u_ + vcol[:, 2] * v_)
-    has_vc = scene.tri_has_vcol[prim][:, None]
-    kd = jnp.where(has_vc, ci, scene.tri_kd[prim])
-    ks = scene.tri_ks[prim]
-    alpha = scene.tri_alpha[prim]
-    mat_type = jnp.where(scene.tri_has_vcol[prim], 0, scene.tri_mat_type[prim])
+    kd = jnp.where(has_vc1[:, None], ci, kd_face)
+    mat_type = jnp.where(has_vc1, 0, mat_type_face)
 
     # SECONDARY arrival contribution decay: t>1 ? 1/t : t; w *= t  (cpp:570-575)
     is_sec = arena.type == int(RayType.SECONDARY)
@@ -319,29 +386,14 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     # ---- shadow spawn per light (generateShadowRays, cpp:320-358) --------
     from gravit_tpu.scene.material import shade_full
 
-    embree_params = None
-    if scene.has_embree_materials:
-        embree_params = (scene.tri_eta[prim], scene.tri_k[prim],
-                         scene.tri_rough[prim], scene.tri_hsc[prim],
-                         scene.tri_bs[prim], scene.tri_hsf[prim])
+    embree_params = embree_rows
 
     t_shadow = (1.0 - 16.0 * RAY_EPSILON) * t_hit
     s_origin = arena.origin + arena.direction * t_shadow[:, None]
     hit_point = arena.origin + arena.direction * t_hit[:, None]
 
     L = scene.num_lights
-    spawn = {
-        "origin": jnp.zeros((n * L, 3), jnp.float32),
-        "direction": jnp.zeros((n * L, 3), jnp.float32),
-        "color": jnp.zeros((n * L, 3), jnp.float32),
-        "t": jnp.zeros((n * L,), jnp.float32),
-        "t_max": jnp.zeros((n * L,), jnp.float32),
-        "w": jnp.zeros((n * L,), jnp.float32),
-        "id": jnp.zeros((n * L,), jnp.int32),
-        "depth": jnp.zeros((n * L,), jnp.int32),
-        "inst": jnp.zeros((n * L,), jnp.int32),
-        "valid": jnp.zeros((n * L,), jnp.bool_),
-    }
+    spawn_rows = []
     # decorrelation counter for the per-ray hashes: round + bounce depth
     rng_extra = (jnp.uint32(round_idx) * jnp.uint32(2654435761)
                  + arena.depth.astype(jnp.uint32) * jnp.uint32(40503))
@@ -376,20 +428,22 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
                        arena.direction, w_now, normal, wi)
         c = jnp.clip(c * li_contrib, 0.0, 1.0)
 
-        sl = slice(li * n, (li + 1) * n)
         sdir = lpos - s_origin  # UNnormalized (cpp:346)
-        spawn["origin"] = spawn["origin"].at[sl].set(s_origin)
-        spawn["direction"] = spawn["direction"].at[sl].set(sdir)
-        spawn["color"] = spawn["color"].at[sl].set(c)
-        spawn["t"] = spawn["t"].at[sl].set(t_hit)
+        # one packed (N, 16) row per light; _append_rays scatters the whole
+        # matrix in ONE op. int fields ride as float32 (exact to 2^24 —
+        # pixel ids up to a 16.7-Mpixel film, depths/instances are small).
         # t_max = dir.length() quirk: glm vec3::length() returns the
         # COMPONENT COUNT (3.0), not the magnitude  (cpp:347,355)
-        spawn["t_max"] = spawn["t_max"].at[sl].set(jnp.full((n,), 3.0))
-        spawn["w"] = spawn["w"].at[sl].set(w_now)
-        spawn["id"] = spawn["id"].at[sl].set(arena.id)
-        spawn["depth"] = spawn["depth"].at[sl].set(arena.depth)
-        spawn["inst"] = spawn["inst"].at[sl].set(arena.inst)
-        spawn["valid"] = spawn["valid"].at[sl].set(valid)
+        spawn_rows.append(jnp.concatenate([
+            s_origin, sdir, c,
+            t_hit[:, None],
+            jnp.full((n, 1), 3.0, jnp.float32),
+            w_now[:, None],
+            arena.id.astype(jnp.float32)[:, None],
+            arena.depth.astype(jnp.float32)[:, None],
+            arena.inst.astype(jnp.float32)[:, None],
+            valid.astype(jnp.float32)[:, None],
+        ], axis=1))
 
     # ---- Russian-roulette secondary bounce (cpp:577-607) ------------------
     ndepth = arena.depth - 1
@@ -410,38 +464,58 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         # terminated hits die; bouncing rays stay queued in the same instance
         active=arena.active & (~mask | bounce),
     )
+    spawn = (jnp.concatenate(spawn_rows, axis=0) if spawn_rows
+             else jnp.zeros((0, 16), jnp.float32))
     return arena, fb, spawn
 
 
-def _append_rays(arena: RayArena, spawn) -> RayArena:
-    """Prefix-sum allocation of spawned rays into inactive lanes."""
+def _append_rays(arena: RayArena, spawn: jax.Array) -> RayArena:
+    """Prefix-sum allocation of spawned rays into inactive lanes.
+
+    `spawn` is the packed (M, 16) matrix from _process_surface_hits
+    [origin 0:3 | dir 3:6 | color 6:9 | t 9 | t_max 10 | w 11 | id 12 |
+     depth 13 | inst 14 | valid 15]. The whole matrix lands in the arena
+    with ONE scatter into a staging buffer; per-field merges are then
+    elementwise selects (random-index scatters are expensive on TPU,
+    elementwise passes are nearly free).
+    """
     c = arena.capacity
-    free_slots = jnp.sort(
-        jnp.where(~arena.active, jnp.arange(c, dtype=jnp.int32), c))
-    rank = jnp.cumsum(spawn["valid"].astype(jnp.int32)) - 1
-    slot = jnp.where(
-        spawn["valid"],
-        free_slots[jnp.clip(rank, 0, c - 1)],
-        c,
-    )  # index c -> dropped by scatter mode="drop"
-    slot = jnp.where(slot >= c, c, slot)
+    if spawn.shape[0] == 0:
+        return arena
+    valid = spawn[:, 15] > 0.5
+    # allocate from the TOP of the arena (descending): camera rays occupy the
+    # bottom, so spawns land in one contiguous high region instead of
+    # scattering into just-retired low lanes — keeps live lanes block-compact
+    # for the BVH kernel without a sort pass
+    free_slots = -jnp.sort(
+        -jnp.where(~arena.active, jnp.arange(c, dtype=jnp.int32), -1))
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    slot = jnp.where(valid, free_slots[jnp.clip(rank, 0, c - 1)], -1)
+    # remap invalid/overflow (-1) to c: strictly out-of-bounds, so the
+    # mode="drop" scatter below discards those rows (negative indices would
+    # wrap instead of dropping)
+    slot = jnp.where(slot < 0, c, slot)
 
-    def put(dst, src):
-        return dst.at[slot].set(src, mode="drop")
+    buf = jnp.zeros((c, 16), jnp.float32).at[slot].set(spawn, mode="drop")
+    written = buf[:, 15] > 0.5  # valid-flag column: 1.0 on every landed row
 
+    def sel(col, old):
+        return jnp.where(written, col, old)
+
+    w3 = written[:, None]
     return arena.replace(
-        origin=put(arena.origin, spawn["origin"]),
-        direction=put(arena.direction, spawn["direction"]),
-        color=put(arena.color, spawn["color"]),
-        t=put(arena.t, spawn["t"]),
-        t_max=put(arena.t_max, spawn["t_max"]),
-        w=put(arena.w, spawn["w"]),
-        id=put(arena.id, spawn["id"]),
-        depth=put(arena.depth, spawn["depth"]),
-        type=put(arena.type, jnp.full_like(spawn["id"], int(RayType.SHADOW))),
-        inst=put(arena.inst, spawn["inst"]),
-        prev=put(arena.prev, jnp.full_like(spawn["inst"], -1)),
-        active=put(arena.active, spawn["valid"]),
+        origin=jnp.where(w3, buf[:, 0:3], arena.origin),
+        direction=jnp.where(w3, buf[:, 3:6], arena.direction),
+        color=jnp.where(w3, buf[:, 6:9], arena.color),
+        t=sel(buf[:, 9], arena.t),
+        t_max=sel(buf[:, 10], arena.t_max),
+        w=sel(buf[:, 11], arena.w),
+        id=sel(buf[:, 12].astype(jnp.int32), arena.id),
+        depth=sel(buf[:, 13].astype(jnp.int32), arena.depth),
+        type=sel(jnp.int32(int(RayType.SHADOW)), arena.type),
+        inst=sel(buf[:, 14].astype(jnp.int32), arena.inst),
+        prev=sel(jnp.int32(-1), arena.prev),
+        active=arena.active | written,
     )
 
 
