@@ -21,13 +21,13 @@ import sys
 
 ROOT = pathlib.Path(__file__).resolve().parent
 BASELINE_RAYS_PER_S = 8.0e4
-TIMEOUT_S = 300
+TIMEOUT_S = 540  # fused-frame compile alone is ~260 s on the axon tunnel
 
 
-def _run(mode_flag):
+def _run(*flags):
     try:
         out = subprocess.run(
-            [sys.executable, str(ROOT / "bench_inner.py"), mode_flag],
+            [sys.executable, str(ROOT / "bench_inner.py"), *flags],
             capture_output=True, timeout=TIMEOUT_S, text=True)
         for line in reversed(out.stdout.strip().splitlines()):
             line = line.strip()
@@ -39,7 +39,8 @@ def _run(mode_flag):
 
 
 def main():
-    result = _run("--accel") or _run("--brute")
+    result = (_run("--accel") or _run("--accel", "--stepped")
+              or _run("--brute"))
     rays_per_s = result["rays_per_s"] if result else 0.0
     print(json.dumps({
         "metric": "bunny_primary_rays_per_s",

@@ -36,12 +36,21 @@ def main():
         samples=1, max_depth=1, jitter_window=0.0)
     arena0 = make_arena(cam.generate_rays(), scene.num_lights)
 
-    from gravit_tpu.render.tracer import trace_image_stepped
+    from gravit_tpu.render.tracer import trace_image, trace_image_stepped
+
+    fused = "--stepped" not in sys.argv
 
     def frame(i):
+        # inputs are perturbed per frame (the axon dispatch layer memoizes
+        # identical executions) and fetched to force materialization
+        arena = arena0.replace(origin=arena0.origin + 1.7e-6 * (i + 1))
+        if fused:
+            # whole frame as ONE fused while_loop program (validated stable
+            # on hardware after the traversal iteration cap; 12-frame soak)
+            return trace_image(scene, arena, WIDTH, HEIGHT,
+                               max_rounds=8, accel=accel)
         # stepped dispatch: one bounded program per round (a hung frame
         # cannot monopolize the device queue)
-        arena = arena0.replace(origin=arena0.origin + 1.7e-6 * (i + 1))
         return trace_image_stepped(scene, arena, WIDTH, HEIGHT,
                                    max_rounds=16, accel=accel)
 
@@ -56,9 +65,11 @@ def main():
         times.append(time.time() - t0)
     times.sort()
     dt = times[len(times) // 2]
+    mode = ("accel-fused" if (use_accel and fused)
+            else "accel" if use_accel else "brute")
     print(json.dumps({"ms_per_frame": dt * 1000,
                       "rays_per_s": WIDTH * HEIGHT / dt,
-                      "mode": "accel" if use_accel else "brute"}))
+                      "mode": mode}))
 
 
 if __name__ == "__main__":
