@@ -24,11 +24,11 @@ BASELINE_RAYS_PER_S = 8.0e4
 TIMEOUT_S = 540  # fused-frame compile alone is ~260 s on the axon tunnel
 
 
-def _run(*flags):
+def _run(*flags, timeout=TIMEOUT_S):
     try:
         out = subprocess.run(
             [sys.executable, str(ROOT / "bench_inner.py"), *flags],
-            capture_output=True, timeout=TIMEOUT_S, text=True)
+            capture_output=True, timeout=timeout, text=True)
         for line in reversed(out.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
@@ -38,7 +38,34 @@ def _run(*flags):
     return None
 
 
+def _device_alive():
+    """Tiny compile+execute+fetch with a short timeout.
+
+    The remote terminal can wedge such that every execution hangs while
+    jax.devices() still answers; probing first turns a 3x540s worst case
+    into one short failure and an honest 0.
+    """
+    probe = ("import jax.numpy as jnp, numpy as np;"
+             "x = jnp.ones((128, 128));"
+             "print('ALIVE', float(np.asarray(x @ x)[0, 0]))")
+    try:
+        out = subprocess.run([sys.executable, "-c", probe],
+                             capture_output=True, timeout=150, text=True)
+        return "ALIVE" in out.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
+    if not _device_alive():
+        print(json.dumps({
+            "metric": "bunny_primary_rays_per_s",
+            "value": 0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "note": "device wedged: tiny matmul probe hung (docs/SESSION_NOTES.md)",
+        }))
+        return
     result = (_run("--accel") or _run("--accel", "--stepped")
               or _run("--brute"))
     rays_per_s = result["rays_per_s"] if result else 0.0

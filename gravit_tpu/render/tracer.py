@@ -161,82 +161,119 @@ def _cosine_hemisphere(normal: jax.Array, xi: jax.Array) -> jax.Array:
 
 def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
                    is_shadow=None):
-    """Hit query via the Pallas packet-BVH kernel, per-mesh passes.
+    """Hit query via the Pallas packet-BVH kernel.
 
-    Blocks whose lanes contain no rays for mesh m terminate at the root,
-    so the per-mesh passes cost ~one node test for foreign blocks. Shadow
-    lanes (is_shadow) run a separate ANY-HIT pass (rtcOccluded early-exit,
-    EmbreeMeshAdapter.cpp:364-385) — only hit/miss matters for them.
+    Multi-mesh scenes use SEGMENT-ALIGNED compaction: lanes are
+    stable-sorted by (mesh, shadow-ness) and scattered into a padded arena
+    where every segment starts on a PACKET boundary, so each block
+    addresses exactly one (mesh, shadow) pair. The whole wavefront then
+    needs at most TWO kernel dispatches — one closest-hit over the primary
+    blocks and one ANY-HIT early-exit over the shadow blocks (rtcOccluded
+    semantics, EmbreeMeshAdapter.cpp:364-385) — instead of 2 passes per
+    mesh streaming the full arena each time. Dead lanes pack last; their
+    blocks (and the alignment-padding blocks) get root -1 and are skipped,
+    so late low-occupancy rounds traverse ~ceil(live/PACKET) blocks.
     """
     from gravit_tpu.ops.intersect import Hit
     from gravit_tpu.ops.pallas_bvh import PACKET, bvh_intersect
 
     n = o_obj.shape[0]
-    nb = n // PACKET
+    M = accel.num_meshes
 
-    # active-lane compaction: stable-sort lanes by (mesh, shadow-ness),
-    # dead lanes last, so live rays pack into few contiguous blocks; the
-    # per-mesh passes then traverse ~ceil(live/PACKET) blocks instead of
-    # every block that happens to contain a stray live lane (late rounds
-    # have <10% scattered occupancy). Skipped for single-mesh scenes: the
-    # arena's natural layout (camera rays first, spawns filling freed lanes
-    # in index order) is already contiguous there, and random-index
-    # gathers are expensive on TPU. When sorting, permute ONE packed
-    # matrix instead of 5 arrays (row-gathers amortize the gather cost).
-    compact = accel.num_meshes > 1
-    if compact:
-        shadow_key = (jnp.zeros((n,), jnp.int32) if is_shadow is None
-                      else is_shadow.astype(jnp.int32))
-        key = jnp.where(queued, ray_mesh * 2 + shadow_key, jnp.int32(2 ** 30))
-        perm = jnp.argsort(key, stable=True)
-        packed = jnp.concatenate([
-            o_obj, d_obj,
-            ray_mesh.astype(jnp.float32)[:, None],
-            queued.astype(jnp.float32)[:, None],
-        ], axis=1)[perm]
-        o_obj, d_obj = packed[:, 0:3], packed[:, 3:6]
-        ray_mesh = packed[:, 6].astype(jnp.int32)
-        queued = packed[:, 7] > 0.5
-        if is_shadow is not None:
-            is_shadow = is_shadow[perm]
-
-    best = Hit(
-        t=jnp.full((n,), FLT_MAX, jnp.float32),
-        prim=jnp.full((n,), -1, jnp.int32),
-        u=jnp.zeros((n,), jnp.float32),
-        v=jnp.zeros((n,), jnp.float32),
-    )
-
-    def one_pass(best, valid, any_hit):
-        has = jnp.any(valid.reshape(nb, PACKET), axis=1)
-        block_root = jnp.where(has, accel.mesh_root[m], -1).astype(jnp.int32)
+    def run(o, d, valid, block_root, any_hit):
         t, prim, u, v = bvh_intersect(
-            o_obj, d_obj, valid.astype(jnp.int32), block_root,
+            o, d, valid.astype(jnp.int32), block_root.astype(jnp.int32),
             accel.bounds, accel.meta, accel.tri, any_hit=any_hit)
         gprim = jnp.where(prim >= 0,
                           accel.leaf2global[jnp.maximum(prim, 0)], -1)
-        return Hit(
-            t=jnp.where(valid, t, best.t),
-            prim=jnp.where(valid, gprim, best.prim),
-            u=jnp.where(valid, u, best.u),
-            v=jnp.where(valid, v, best.v),
-        )
+        return t, gprim, u, v
 
-    for m in range(accel.num_meshes):
-        mesh_lanes = queued & (ray_mesh == m)
+    if M == 1:
+        # single-mesh: the arena's natural layout (camera rays first,
+        # spawns filling freed lanes in index order) is already contiguous;
+        # a sort would cost more than it saves
+        nb = n // PACKET
+        root0 = accel.mesh_root[0]
+
+        def one_pass(best, valid, any_hit):
+            has = jnp.any(valid.reshape(nb, PACKET), axis=1)
+            block_root = jnp.where(has, root0, -1)
+            t, gprim, u, v = run(o_obj, d_obj, valid, block_root, any_hit)
+            return Hit(
+                t=jnp.where(valid, t, best.t),
+                prim=jnp.where(valid, gprim, best.prim),
+                u=jnp.where(valid, u, best.u),
+                v=jnp.where(valid, v, best.v),
+            )
+
+        best = Hit(
+            t=jnp.full((n,), FLT_MAX, jnp.float32),
+            prim=jnp.full((n,), -1, jnp.int32),
+            u=jnp.zeros((n,), jnp.float32),
+            v=jnp.zeros((n,), jnp.float32),
+        )
         if is_shadow is None:
-            best = one_pass(best, mesh_lanes, False)
-        else:
-            best = one_pass(best, mesh_lanes & ~is_shadow, False)
-            best = one_pass(best, mesh_lanes & is_shadow, True)
-    if not compact:
-        return best
-    # unsort back to arena lane order: scatter one packed (N,3) float matrix
-    # + one int array via the forward permutation
-    hpack = jnp.zeros((n, 3), jnp.float32).at[perm].set(
-        jnp.stack([best.t, best.u, best.v], axis=1))
-    hprim = jnp.zeros((n,), jnp.int32).at[perm].set(best.prim)
-    return Hit(t=hpack[:, 0], prim=hprim, u=hpack[:, 1], v=hpack[:, 2])
+            return one_pass(best, queued, False)
+        best = one_pass(best, queued & ~is_shadow, False)
+        return one_pass(best, queued & is_shadow, True)
+
+    # ---- multi-mesh: segment-aligned packing, <=2 dispatches total -------
+    S = 2 * M                         # segments: (mesh, shadow) pairs
+    shadow_key = (jnp.zeros((n,), jnp.int32) if is_shadow is None
+                  else is_shadow.astype(jnp.int32))
+    key = jnp.where(queued, ray_mesh * 2 + shadow_key, jnp.int32(S))
+    perm = jnp.argsort(key, stable=True)         # sorted pos -> arena lane
+    key_s = key[perm]
+
+    cnt = jnp.bincount(key, length=S + 1)        # per-segment live counts
+    padded_cnt = ((cnt[:S] + PACKET - 1) // PACKET) * PACKET
+    zero1 = jnp.zeros((1,), cnt.dtype)
+    off_pad = jnp.concatenate([zero1, jnp.cumsum(padded_cnt)])  # (S+1,)
+    off_raw = jnp.concatenate([zero1, jnp.cumsum(cnt[:S])])     # (S+1,)
+    # sorted position i in segment s lands at off_pad[s] + (i - off_raw[s]);
+    # the dead bucket (s == S) packs right after the last aligned segment
+    shift = (off_pad - off_raw)[key_s]
+    dest = jnp.arange(n) + shift                 # sorted pos -> padded lane
+
+    n_pad = n + S * PACKET                       # worst-case alignment waste
+    packed = jnp.concatenate([
+        o_obj, d_obj, queued.astype(jnp.float32)[:, None]], axis=1)[perm]
+    arena_p = jnp.zeros((n_pad, packed.shape[1]), jnp.float32).at[dest].set(
+        packed)
+    o_p, d_p = arena_p[:, 0:3], arena_p[:, 3:6]
+    queued_p = arena_p[:, 6] > 0.5
+
+    # per-block segment: segments are PACKET-aligned, so each block belongs
+    # to exactly one segment (or the dead/padding tail)
+    nbp = n_pad // PACKET
+    block_start = jnp.arange(nbp) * PACKET
+    blk_seg = jnp.clip(
+        jnp.searchsorted(off_pad, block_start, side="right") - 1, 0, S)
+    blk_live = (blk_seg < S) & jnp.any(queued_p.reshape(nbp, PACKET), axis=1)
+    blk_mesh = jnp.clip(blk_seg // 2, 0, M - 1)
+    blk_shadow = (blk_seg % 2) == 1
+    blk_root = accel.mesh_root[blk_mesh]
+
+    root_closest = jnp.where(blk_live & ~blk_shadow, blk_root, -1)
+    t, prim, u, v = run(o_p, d_p, queued_p, root_closest, False)
+    if is_shadow is not None:
+        root_any = jnp.where(blk_live & blk_shadow, blk_root, -1)
+        t2, prim2, u2, v2 = run(o_p, d_p, queued_p, root_any, True)
+        lane_shadow = jnp.repeat(blk_shadow, PACKET)
+        t = jnp.where(lane_shadow, t2, t)
+        prim = jnp.where(lane_shadow, prim2, prim)
+        u = jnp.where(lane_shadow, u2, u)
+        v = jnp.where(lane_shadow, v2, v)
+
+    # unsort: padded lane -> sorted pos (gather via dest) -> arena lane
+    # (scatter via perm); one packed matrix + one int array
+    res_sorted = jnp.stack([t, u, v], axis=1)[dest]
+    hpack = jnp.zeros((n, 3), jnp.float32).at[perm].set(res_sorted)
+    hprim = jnp.full((n,), -1, jnp.int32).at[perm].set(prim[dest])
+    miss = ~queued | (hpack[:, 0] >= FLT_MAX)
+    return Hit(t=jnp.where(miss, FLT_MAX, hpack[:, 0]),
+               prim=jnp.where(miss, -1, hprim),
+               u=hpack[:, 1], v=hpack[:, 2])
 
 
 def _pack_shade_table(scene: SceneData) -> jax.Array:
