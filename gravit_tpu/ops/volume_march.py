@@ -22,7 +22,15 @@ OPACITY_TERMINATION = 0.99
 
 
 def trilinear(samples: jax.Array, origin, spacing, pos):
-    """Trilinear interpolation; samples (nz, ny, nx); pos (..., 3) world."""
+    """Trilinear interpolation; samples (nz, ny, nx); pos (..., 3) world.
+
+    The 8 cell corners are fetched with ONE flat gather of shape (..., 8)
+    instead of 8 separate advanced-indexing gathers: random-index gathers
+    pay a large fixed per-op cost on TPU (same measurement that motivated
+    the packed shade table in render/tracer._pack_shade_table), and the
+    march body runs this every step. Arithmetic order is unchanged, so
+    results are bit-identical to the 8-gather form.
+    """
     nz, ny, nx = samples.shape
     f = (pos - origin) / spacing                       # grid coords (x,y,z)
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
@@ -33,13 +41,17 @@ def trilinear(samples: jax.Array, origin, spacing, pos):
     ty = jnp.clip(fy - iy, 0.0, 1.0)
     tz = jnp.clip(fz - iz, 0.0, 1.0)
 
-    def at(dz, dy, dx):
-        return samples[iz + dz, iy + dy, ix + dx]
+    base = (iz * ny + iy) * nx + ix
+    # corner order (dz, dy, dx): 000 001 010 011 100 101 110 111
+    offs = jnp.asarray([0, 1, nx, nx + 1,
+                        ny * nx, ny * nx + 1, ny * nx + nx, ny * nx + nx + 1],
+                       jnp.int32)
+    c = samples.reshape(-1)[base[..., None] + offs]    # (..., 8)
 
-    c00 = at(0, 0, 0) * (1 - tx) + at(0, 0, 1) * tx
-    c01 = at(0, 1, 0) * (1 - tx) + at(0, 1, 1) * tx
-    c10 = at(1, 0, 0) * (1 - tx) + at(1, 0, 1) * tx
-    c11 = at(1, 1, 0) * (1 - tx) + at(1, 1, 1) * tx
+    c00 = c[..., 0] * (1 - tx) + c[..., 1] * tx
+    c01 = c[..., 2] * (1 - tx) + c[..., 3] * tx
+    c10 = c[..., 4] * (1 - tx) + c[..., 5] * tx
+    c11 = c[..., 6] * (1 - tx) + c[..., 7] * tx
     c0 = c00 * (1 - ty) + c01 * ty
     c1 = c10 * (1 - ty) + c11 * ty
     return c0 * (1 - tz) + c1 * tz
@@ -60,14 +72,18 @@ def sample_amr(samples, origin, spacing, pos, subgrids=()):
 
 
 def field_gradient(samples, origin, spacing, pos, subgrids=(), h=0.5):
-    """Central-difference gradient of the scalar field (isosurface normal)."""
-    grads = []
-    for ax in range(3):
-        e = jnp.zeros(3).at[ax].set(h)
-        sp = sample_amr(samples, origin, spacing, pos + e, subgrids)
-        sm = sample_amr(samples, origin, spacing, pos - e, subgrids)
-        grads.append((sp - sm) / (2 * h))
-    g = jnp.stack(grads, axis=-1)
+    """Central-difference gradient of the scalar field (isosurface normal).
+
+    The 6 stencil taps are sampled in ONE batched trilinear call (-> one
+    gather) by stacking them as an extra leading axis of pos.
+    """
+    eye = jnp.eye(3, dtype=pos.dtype) * h              # (3, 3)
+    taps = jnp.concatenate([pos[None] + eye[:, None, :],
+                            pos[None] - eye[:, None, :]])   # (6, N, 3)
+    s = sample_amr(samples, origin, spacing, taps, subgrids)  # (6, N)
+    g = jnp.stack([(s[0] - s[3]) / (2 * h),
+                   (s[1] - s[4]) / (2 * h),
+                   (s[2] - s[5]) / (2 * h)], axis=-1)
     return g / jnp.sqrt(jnp.maximum(jnp.sum(g * g, axis=-1,
                                             keepdims=True), 1e-30))
 
@@ -79,12 +95,13 @@ ISO_KD = 0.6
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "isovalues",
-                                             "slices"))
+                                             "slices", "chunk"))
 def march_brick(o, d, active, color_in, w_in,
                 samples, origin, spacing, lo, hi,
                 color_lut, opacity_lut, vrange,
                 step: float | jax.Array, max_steps: int,
-                subgrids=(), isovalues: tuple = (), slices: tuple = ()):
+                subgrids=(), isovalues: tuple = (), slices: tuple = (),
+                chunk: int = 8):
     """March active rays through one brick; returns (color, w, exited_flags).
 
     o, d:   (N, 3) rays in the brick's coordinate frame (d need not be unit;
@@ -94,6 +111,12 @@ def march_brick(o, d, active, color_in, w_in,
     Returns (color, w, depth_flags): flags RAY_OPAQUE if the termination
     threshold was crossed, else RAY_BOUNDARY (exited the brick), matching
     the protocol the shuffle expects (DomainTracer.cpp:255-305).
+
+    `chunk` steps are sampled per loop iteration with ONE batched field
+    gather + ONE TF lookup (the dominant cost is the fixed per-op price of
+    random-index gathers on TPU, not the bytes); the front-to-back
+    accumulation then unrolls over the chunk as fused elementwise ops, so
+    results are bit-identical to the step-at-a-time form.
     """
     from gravit_tpu.scene.transfer import apply_tf
 
@@ -123,48 +146,59 @@ def march_brick(o, d, active, color_in, w_in,
         w = jnp.where(inside, 1.0, w)
         return color, w
 
-    def body(k, carry):
+    def body(ko, carry):
         color, w, s_prev, have_prev = carry
-        t = t_in + step * (k + 0.5)
-        pos = o + t[:, None] * d
-        inside = active & (t < t_out) & (w < OPACITY_TERMINATION)
-        s = sample_amr(samples, origin, spacing, pos, subgrids)
+        kk = ko * chunk + jnp.arange(chunk)              # (K,) step indices
+        t_blk = t_in[:, None] + step * (kk[None, :] + 0.5)   # (N, K)
+        pos_blk = o[:, None, :] + t_blk[..., None] * d[:, None, :]
+        s_blk = sample_amr(samples, origin, spacing, pos_blk, subgrids)
+        rgb_blk, a_blk = apply_tf(color_lut, opacity_lut, vrange, s_blk)
 
-        # implicit isosurfaces: sign change of (s - iso) between samples
-        for iso in isovalues:
-            cross = inside & have_prev & \
-                ((s_prev - iso) * (s - iso) <= 0.0) & (s_prev != s)
-            rgb_iso, _ = apply_tf(color_lut, opacity_lut, vrange,
-                                  jnp.full((n,), iso))
-            color, w = surface_deposit(color, w, pos, rgb_iso, cross)
-        # slice planes (a, b, c, dd): crossing of plane function
-        for pl in slices:
-            a_, b_, c_, dd_ = pl
-            f = pos[:, 0] * a_ + pos[:, 1] * b_ + pos[:, 2] * c_ + dd_
-            pos_prev = o + (t - step)[:, None] * d
-            f_prev = (pos_prev[:, 0] * a_ + pos_prev[:, 1] * b_
-                      + pos_prev[:, 2] * c_ + dd_)
-            cross = inside & have_prev & (f_prev * f <= 0.0)
-            s_here = sample_amr(samples, origin, spacing, pos, subgrids)
-            rgb_sl, _ = apply_tf(color_lut, opacity_lut, vrange, s_here)
-            nrm = jnp.asarray([a_, b_, c_])
-            nrm = nrm / jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm), 1e-30))
-            ndv = jnp.abs(jnp.sum(nrm[None, :] * view, axis=-1))
-            c_surf = rgb_sl * (ISO_KA + ISO_KD * ndv)[:, None]
-            color = jnp.where(cross[:, None],
-                              color + (1.0 - w)[:, None] * c_surf, color)
-            w = jnp.where(cross, 1.0, w)
+        for j in range(chunk):
+            t = t_blk[:, j]
+            pos = pos_blk[:, j]
+            s = s_blk[:, j]
+            step_ok = kk[j] < max_steps       # padded tail of the last chunk
+            inside = (active & step_ok & (t < t_out)
+                      & (w < OPACITY_TERMINATION))
 
-        inside = inside & (w < OPACITY_TERMINATION)
-        rgb, a = apply_tf(color_lut, opacity_lut, vrange, s)
-        a = 1.0 - jnp.power(jnp.maximum(1.0 - a, 0.0), correction)
-        a = jnp.where(inside, a, 0.0)
-        color = color + (1.0 - w)[:, None] * a[:, None] * rgb
-        w = w + (1.0 - w) * a
-        return color, w, s, have_prev | (active & (t < t_out))
+            # implicit isosurfaces: sign change of (s - iso) between samples
+            for iso in isovalues:
+                cross = inside & have_prev & \
+                    ((s_prev - iso) * (s - iso) <= 0.0) & (s_prev != s)
+                rgb_iso, _ = apply_tf(color_lut, opacity_lut, vrange,
+                                      jnp.full((n,), iso))
+                color, w = surface_deposit(color, w, pos, rgb_iso, cross)
+            # slice planes (a, b, c, dd): crossing of plane function
+            for pl in slices:
+                a_, b_, c_, dd_ = pl
+                f = pos[:, 0] * a_ + pos[:, 1] * b_ + pos[:, 2] * c_ + dd_
+                pos_prev = o + (t - step)[:, None] * d
+                f_prev = (pos_prev[:, 0] * a_ + pos_prev[:, 1] * b_
+                          + pos_prev[:, 2] * c_ + dd_)
+                cross = inside & have_prev & (f_prev * f <= 0.0)
+                rgb_sl = rgb_blk[:, j]
+                nrm = jnp.asarray([a_, b_, c_])
+                nrm = nrm / jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm), 1e-30))
+                ndv = jnp.abs(jnp.sum(nrm[None, :] * view, axis=-1))
+                c_surf = rgb_sl * (ISO_KA + ISO_KD * ndv)[:, None]
+                color = jnp.where(cross[:, None],
+                                  color + (1.0 - w)[:, None] * c_surf, color)
+                w = jnp.where(cross, 1.0, w)
 
+            inside = inside & (w < OPACITY_TERMINATION)
+            a = 1.0 - jnp.power(jnp.maximum(1.0 - a_blk[:, j], 0.0),
+                                correction)
+            a = jnp.where(inside, a, 0.0)
+            color = color + (1.0 - w)[:, None] * a[:, None] * rgb_blk[:, j]
+            w = w + (1.0 - w) * a
+            have_prev = have_prev | (active & step_ok & (t < t_out))
+            s_prev = jnp.where(step_ok, s, s_prev)
+        return color, w, s_prev, have_prev
+
+    n_chunks = (max_steps + chunk - 1) // chunk
     color, w, _, _ = jax.lax.fori_loop(
-        0, max_steps, body,
+        0, n_chunks, body,
         (color_in, w_in, jnp.zeros((n,), jnp.float32),
          jnp.zeros((n,), bool)))
     opaque = w >= OPACITY_TERMINATION

@@ -71,11 +71,17 @@ def _read_table(path: str) -> np.ndarray:
 
 
 def apply_tf(color_lut, opacity_lut, vrange, scalar):
-    """Piecewise-linear LUT lookup over [low, high]; scalar (...,) -> rgb, a."""
+    """Piecewise-linear LUT lookup over [low, high]; scalar (...,) -> rgb, a.
+
+    Color and opacity are looked up through ONE packed (256, 4) rgba table
+    (two row-gathers instead of four): the concat is loop-invariant so XLA
+    hoists it out of the march loop, and it stays differentiable wrt both
+    LUTs.
+    """
+    rgba = jnp.concatenate([color_lut, opacity_lut[:, None]], axis=1)
     x = (scalar - vrange[0]) / jnp.maximum(vrange[1] - vrange[0], 1e-30)
     x = jnp.clip(x, 0.0, 1.0) * 255.0
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, 254)
     frac = (x - i0)[..., None]
-    rgb = color_lut[i0] * (1 - frac) + color_lut[i0 + 1] * frac
-    a = opacity_lut[i0] * (1 - frac[..., 0]) + opacity_lut[i0 + 1] * frac[..., 0]
-    return rgb, a
+    v = rgba[i0] * (1 - frac) + rgba[i0 + 1] * frac
+    return v[..., 0:3], v[..., 3]
