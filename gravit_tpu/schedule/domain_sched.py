@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from gravit_tpu.accel.scene_accel import SceneBVH, build_scene_bvh
 from gravit_tpu.core.rays import RayArena
 from gravit_tpu.render import tracer as tracer_lib
 from gravit_tpu.render.scene_build import Instance, SceneData, build_scene
@@ -63,9 +64,7 @@ def partition_scene(meshes: Sequence[CompiledMesh],
 
     per_dev = []
     for d in range(n_dev):
-        local_mesh_ids = sorted(
-            {instances[i].mesh_id for i in range(len(instances))
-             if owners[i] == d})
+        local_mesh_ids = _local_mesh_ids(instances, owners, d)
         gl2loc = {g: l for l, g in enumerate(local_mesh_ids)}
         local_meshes = [meshes[g] for g in local_mesh_ids]
         # all instances, with local mesh ids (or -1 if not owned here)
@@ -125,6 +124,50 @@ def _pad_scene_tris(sd: SceneData, t_max: int) -> SceneData:
     )
 
 
+def _local_mesh_ids(instances, owners, d):
+    return sorted({instances[i].mesh_id for i in range(len(instances))
+                   if owners[i] == d})
+
+
+def partition_accel(meshes: Sequence[CompiledMesh],
+                    instances: Sequence[Instance],
+                    n_dev: int, owners: np.ndarray) -> SceneBVH:
+    """Per-device Pallas BVH accel, padded to common shapes and stacked on a
+    leading device axis (mirror of partition_scene's triangle partitioning).
+
+    The reference runs the SAME fast adapter under every scheduler
+    (algorithm/DomainTracer.h:228-326 -> EmbreeMeshAdapter.cpp:625); this
+    gives the domain scheduler the same property: each device owns the flat
+    BVHs of only its local meshes. Padding mesh slots get root -1 (their
+    ray blocks are skipped by the kernel)."""
+    per_dev = []
+    for d in range(n_dev):
+        ids = _local_mesh_ids(instances, owners, d)
+        local = [meshes[g] for g in ids] if ids else [meshes[0]]
+        per_dev.append(build_scene_bvh(local))
+
+    nn = max(a.bounds.shape[0] for a in per_dev)
+    tp = max(a.tri.shape[0] for a in per_dev)
+    m_max = max(a.num_meshes for a in per_dev)
+
+    def padded(a: SceneBVH) -> SceneBVH:
+        padn = nn - a.bounds.shape[0]
+        padt = tp - a.tri.shape[0]
+        padm = m_max - a.mesh_root.shape[0]
+        z = lambda arr, p: jnp.concatenate(
+            [arr, jnp.zeros((p,) + arr.shape[1:], arr.dtype)]) if p else arr
+        root = jnp.concatenate(
+            [a.mesh_root, jnp.full((padm,), -1, jnp.int32)]
+        ) if padm else a.mesh_root
+        return SceneBVH(
+            bounds=z(a.bounds, padn), meta=z(a.meta, padn),
+            tri=z(a.tri, padt), leaf2global=z(a.leaf2global, padt),
+            mesh_root=root, num_meshes=m_max)
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs),
+                        *[padded(a) for a in per_dev])
+
+
 def _pack_exchange(arena: RayArena, dest: jax.Array, n_dev: int, cap: int):
     """Compact rays by destination device into a (n_dev, cap) lane buffer.
 
@@ -160,28 +203,39 @@ def _pack_exchange(arena: RayArena, dest: jax.Array, n_dev: int, cap: int):
     return arena, packed, dropped
 
 
-def _merge_incoming(arena: RayArena, incoming: RayArena) -> RayArena:
-    """Scatter received rays into free local lanes (prefix allocation)."""
+def _merge_incoming(arena: RayArena, incoming: RayArena):
+    """Scatter received rays into free local lanes (prefix allocation).
+
+    Returns (arena, dropped): rays that arrive when no free lane exists are
+    counted, not silently lost — trace_domain psums the count out so callers
+    can auto-grow capacity (the reference exchange is lossless by
+    construction, DomainTracer.h:370-496; here loudness + resize replaces
+    dynamic buffers)."""
     c = arena.capacity
     flat = jax.tree.map(
         lambda a: a.reshape((-1,) + a.shape[2:]), incoming)
     free_slots = jnp.sort(
         jnp.where(~arena.active, jnp.arange(c, dtype=jnp.int32), c))
+    n_free = jnp.sum((~arena.active).astype(jnp.int32))
     rank = jnp.cumsum(flat.active.astype(jnp.int32)) - 1
-    slot = jnp.where(flat.active, free_slots[jnp.clip(rank, 0, c - 1)], c)
-    slot = jnp.where(slot >= c, c, slot)
+    overflow = flat.active & (rank >= n_free)
+    dropped = jnp.sum(overflow.astype(jnp.int32))
+    ok = flat.active & ~overflow
+    slot = jnp.where(ok, free_slots[jnp.clip(rank, 0, c - 1)], c)
 
     def put(dst, src):
         return dst.at[slot].set(src, mode="drop")
 
-    return jax.tree.map(put, arena, flat)
+    return jax.tree.map(put, arena, flat), dropped
 
 
 def trace_domain(scene_stacked: SceneData, owners: jax.Array,
                  arena: RayArena, width: int, height: int, mesh: Mesh,
                  axis: str = "domains", max_rounds: int = 32,
                  exchange_cap: int | None = None,
-                 ray_axis: str | None = None) -> jax.Array:
+                 ray_axis: str | None = None,
+                 accel: SceneBVH | None = None,
+                 return_stats: bool = False):
     """Run the domain-scheduled trace over the device mesh; returns fb.
 
     arena: the FULL camera wavefront, replicated (every device filters to
@@ -192,21 +246,34 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
     rays), composing the Domain (model-parallel) and Image (data-parallel)
     schedulers on a 2D mesh. Migration all_to_alls stay within the domain
     axis; the framebuffer psums over both.
+
+    accel: optional device-stacked SceneBVH from partition_accel — the
+    Pallas packet-BVH kernel then runs UNDER the domain scheduler exactly
+    as the reference's fast adapter runs under every tracer
+    (DomainTracer.h:228-326).
+
+    return_stats: also return the psum'd count of rays dropped by exchange
+    overflow (pack + merge). Nonzero means the image is missing energy —
+    callers should grow exchange_cap / arena capacity (DomainRenderer.render
+    does this automatically).
     """
     n_dev = mesh.shape[axis]
-    cap = exchange_cap or max(1024, arena.capacity // (2 * n_dev))
+    cap = exchange_cap or max(1024, arena.capacity // n_dev)
 
     scene_specs = jax.tree.map(lambda _: P(axis), scene_stacked)
     arena_specs = jax.tree.map(
         lambda _: P(ray_axis) if ray_axis else P(), arena)
+    accel_specs = jax.tree.map(lambda _: P(axis), accel)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(scene_specs, P(), arena_specs), out_specs=P(),
+        in_specs=(scene_specs, P(), arena_specs, accel_specs),
+        out_specs=(P(), P()),
         check_vma=False)
-    def run(scene_d, owners, arena):
-        scene_l = jax.tree.map(
-            lambda a: a[0] if a.ndim and a.shape[0] == 1 else a, scene_d)
+    def run(scene_d, owners, arena, accel_d):
+        unstack = lambda a: a[0] if a.ndim and a.shape[0] == 1 else a
+        scene_l = jax.tree.map(unstack, scene_d)
+        accel_l = jax.tree.map(unstack, accel_d)
         me = jax.lax.axis_index(axis)
         tile = tracer_lib._choose_tile(scene_l.tri_v0.shape[0])
         fb = image_lib.new_framebuffer(width, height)
@@ -219,24 +286,25 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
             active=arena.active & ((arena.inst < 0) | local))
 
         def round_fn(state):
-            r, arena, fb = state
+            r, arena, fb, drops = state
             # trace_round only processes rays whose instance has local mesh
             # data (inst_mesh == -1 for foreign instances parks the lane)
-            arena, fb2 = tracer_lib.trace_round(scene_l, arena, fb, r, tile)
+            arena, fb2 = tracer_lib.trace_round(scene_l, arena, fb, r, tile,
+                                                accel=accel_l)
             # exchange: send rays whose target is foreign
             inst_owner = owners[jnp.clip(arena.inst, 0, owners.shape[0] - 1)]
             send = arena.active & (arena.inst >= 0) & (inst_owner != me)
             dest = jnp.where(send, inst_owner, -1)
-            arena, packed, _ = _pack_exchange(arena, dest, n_dev, cap)
+            arena, packed, d_pack = _pack_exchange(arena, dest, n_dev, cap)
             incoming = jax.tree.map(
                 lambda a: jax.lax.all_to_all(
                     a, axis, split_axis=0, concat_axis=0, tiled=False),
                 packed)
-            arena = _merge_incoming(arena, incoming)
-            return r + 1, arena, fb2
+            arena, d_merge = _merge_incoming(arena, incoming)
+            return r + 1, arena, fb2, drops + d_pack + d_merge
 
         def cond(state):
-            r, arena, fb = state
+            r, arena, fb, drops = state
             live = jnp.sum((arena.active & (arena.inst >= 0))
                            .astype(jnp.int32))
             live = jax.lax.psum(live, axis)
@@ -244,15 +312,20 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
                 live = jax.lax.psum(live, ray_axis)
             return (r < max_rounds) & (live > 0)
 
-        _, arena, fb = jax.lax.while_loop(
-            cond, round_fn, (jnp.int32(0), arena, fb))
+        _, arena, fb, drops = jax.lax.while_loop(
+            cond, round_fn, (jnp.int32(0), arena, fb, jnp.int32(0)))
         fb = jax.lax.psum(fb, axis)
+        drops = jax.lax.psum(drops, axis)
         if ray_axis:
             fb = jax.lax.psum(fb, ray_axis)
-        return fb
+            drops = jax.lax.psum(drops, ray_axis)
+        return fb, drops
 
-    fb = run(scene_stacked, owners, arena)
-    return image_lib.clamp_rgb(fb)
+    fb, drops = run(scene_stacked, owners, arena, accel)
+    fb = image_lib.clamp_rgb(fb)
+    if return_stats:
+        return fb, drops
+    return fb
 
 
 @dataclasses.dataclass
@@ -267,14 +340,20 @@ class DomainRenderer:
     meshes_src: Sequence = None
     instances_src: Sequence = None
     lights_src: Sequence = None
+    accel: SceneBVH | None = None
 
     @classmethod
     def build(cls, meshes, instances, lights, mesh: Mesh,
-              axis: str = "domains", owners: np.ndarray | None = None):
+              axis: str = "domains", owners: np.ndarray | None = None,
+              use_accel: bool = False):
         n_dev = mesh.shape[axis]
         stacked, owners = partition_scene(meshes, instances, lights, n_dev,
                                           owners)
-        return cls(stacked, owners, mesh, axis, meshes, instances, lights)
+        accel = (partition_accel(meshes, instances, n_dev,
+                                 np.asarray(owners))
+                 if use_accel else None)
+        return cls(stacked, owners, mesh, axis, meshes, instances, lights,
+                   accel)
 
     def reschedule(self, pending: np.ndarray, policy: str = "RayWeightedSpread"):
         """Hybrid scheduling: recompute domain->device placement from
@@ -290,9 +369,12 @@ class DomainRenderer:
         stacked, owners = partition_scene(
             self.meshes_src, self.instances_src, self.lights_src, n_dev,
             new_owners)
+        accel = (partition_accel(self.meshes_src, self.instances_src, n_dev,
+                                 np.asarray(owners))
+                 if self.accel is not None else None)
         return DomainRenderer(stacked, owners, self.mesh, self.axis,
                               self.meshes_src, self.instances_src,
-                              self.lights_src)
+                              self.lights_src, accel)
 
     def pending_histogram(self, camera) -> np.ndarray:
         """Per-domain primary-ray demand (the gathered (domain, #rays)
@@ -313,9 +395,23 @@ class DomainRenderer:
         n_inst = int(scene.num_instances)
         return np.bincount(inst[act & (inst >= 0)], minlength=n_inst)
 
-    def render(self, camera, max_rounds: int = 32):
+    def render(self, camera, max_rounds: int = 32, max_grows: int = 3):
+        """Render a frame; on exchange overflow, retry with doubled
+        exchange capacity (auto-grow) so silent ray loss cannot produce a
+        quietly wrong image. Raises if drops persist after max_grows."""
         rays = camera.generate_rays()
         arena = tracer_lib.make_arena(rays, int(self.scene_stacked.num_lights))
-        return trace_domain(self.scene_stacked, self.owners, arena,
-                            camera.film_width, camera.film_height,
-                            self.mesh, self.axis, max_rounds)
+        n_dev = self.mesh.shape[self.axis]
+        cap = max(1024, arena.capacity // n_dev)
+        for _ in range(max_grows + 1):
+            fb, drops = trace_domain(
+                self.scene_stacked, self.owners, arena,
+                camera.film_width, camera.film_height,
+                self.mesh, self.axis, max_rounds,
+                exchange_cap=cap, accel=self.accel, return_stats=True)
+            if int(drops) == 0:
+                return fb
+            cap = min(cap * 2, arena.capacity)
+        raise RuntimeError(
+            f"ray exchange still dropping {int(drops)} rays at "
+            f"exchange_cap={cap}; increase arena capacity")

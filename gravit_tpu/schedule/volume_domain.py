@@ -89,16 +89,17 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
                         arena: RayArena, width: int, height: int,
                         mesh: Mesh, axis: str = "domains",
                         max_rounds: int = 32,
-                        exchange_cap: int | None = None) -> jax.Array:
+                        exchange_cap: int | None = None,
+                        return_stats: bool = False):
     n_dev = mesh.shape[axis]
-    cap = exchange_cap or max(1024, arena.capacity // (2 * n_dev))
+    cap = exchange_cap or max(1024, arena.capacity // n_dev)
 
     scene_specs = jax.tree.map(lambda _: P(axis), scene_stacked)
     arena_specs = jax.tree.map(lambda _: P(), arena)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(scene_specs, P(), arena_specs), out_specs=P(),
+        in_specs=(scene_specs, P(), arena_specs), out_specs=(P(), P()),
         check_vma=False)
     def run(scene_d, owners, arena):
         scene_l = jax.tree.map(
@@ -113,29 +114,33 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
             active=arena.active & ((arena.inst < 0) | (inst_owner == me)))
 
         def round_fn(state):
-            r, arena, fb = state
+            r, arena, fb, drops = state
             arena = volume_tracer.march_round(scene_l, arena)
             arena, fb = volume_tracer.shuffle_volume(scene_l, arena, fb)
             inst_owner = owners[jnp.clip(arena.inst, 0,
                                          owners.shape[0] - 1)]
             send = arena.active & (arena.inst >= 0) & (inst_owner != me)
             dest = jnp.where(send, inst_owner, -1)
-            arena, packed, _ = _pack_exchange(arena, dest, n_dev, cap)
+            arena, packed, d_pack = _pack_exchange(arena, dest, n_dev, cap)
             incoming = jax.tree.map(
                 lambda a: jax.lax.all_to_all(
                     a, axis, split_axis=0, concat_axis=0, tiled=False),
                 packed)
-            arena = _merge_incoming(arena, incoming)
-            return r + 1, arena, fb
+            arena, d_merge = _merge_incoming(arena, incoming)
+            return r + 1, arena, fb, drops + d_pack + d_merge
 
         def cond(state):
-            r, arena, fb = state
+            r, arena, fb, drops = state
             live = jnp.sum((arena.active & (arena.inst >= 0))
                            .astype(jnp.int32))
             return (r < max_rounds) & (jax.lax.psum(live, axis) > 0)
 
-        _, arena, fb = jax.lax.while_loop(
-            cond, round_fn, (jnp.int32(0), arena, fb))
-        return jax.lax.psum(fb, axis)
+        _, arena, fb, drops = jax.lax.while_loop(
+            cond, round_fn, (jnp.int32(0), arena, fb, jnp.int32(0)))
+        return jax.lax.psum(fb, axis), jax.lax.psum(drops, axis)
 
-    return image_lib.clamp_rgb(run(scene_stacked, owners, arena))
+    fb, drops = run(scene_stacked, owners, arena)
+    fb = image_lib.clamp_rgb(fb)
+    if return_stats:
+        return fb, drops
+    return fb
