@@ -35,6 +35,7 @@ class OrbitCamera:
     def __init__(self, focus=(0.0, 0.0, 0.0), radius=4.0, fov_deg=45.0):
         self.focus = np.asarray(focus, np.float64)
         self.radius0 = self.radius = float(radius)
+        self.fov = math.radians(fov_deg)
         self.theta = 0.0    # azimuth, radians
         self.phi = 0.0      # elevation, radians
 
@@ -48,9 +49,9 @@ class OrbitCamera:
         offset = np.asarray([ct * cp, sp, st * cp]) * self.radius
         return self.focus + offset
 
-    def apply(self, name="conecam", fov=45.0 * math.pi / 180.0):
+    def apply(self, name="conecam", fov=None):
         api.modifyCamera(name, list(self.eye()), list(self.focus),
-                         [0.0, 1.0, 0.0], fov)
+                         [0.0, 1.0, 0.0], self.fov if fov is None else fov)
 
 
 def frame(renderer, output, write=False):

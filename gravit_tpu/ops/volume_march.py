@@ -77,10 +77,13 @@ def field_gradient(samples, origin, spacing, pos, subgrids=(), h=0.5):
     The 6 stencil taps are sampled in ONE batched trilinear call (-> one
     gather) by stacking them as an extra leading axis of pos.
     """
+    # rank-generic broadcast: eye reshaped to (3, 1, ..., 1, 3) so pos may
+    # be (..., 3) of any batch rank, not just (N, 3)
     eye = jnp.eye(3, dtype=pos.dtype) * h              # (3, 3)
-    taps = jnp.concatenate([pos[None] + eye[:, None, :],
-                            pos[None] - eye[:, None, :]])   # (6, N, 3)
-    s = sample_amr(samples, origin, spacing, taps, subgrids)  # (6, N)
+    eye_b = eye.reshape((3,) + (1,) * (pos.ndim - 1) + (3,))
+    taps = jnp.concatenate([pos[None] + eye_b,
+                            pos[None] - eye_b])        # (6, ..., 3)
+    s = sample_amr(samples, origin, spacing, taps, subgrids)  # (6, ...)
     g = jnp.stack([(s[0] - s[3]) / (2 * h),
                    (s[1] - s[4]) / (2 * h),
                    (s[2] - s[5]) / (2 * h)], axis=-1)

@@ -81,8 +81,8 @@ def to_object_space(scene: SceneData, arena: RayArena):
     return o, d, mesh_id
 
 
-def shuffle(scene: SceneData, arena: RayArena, fb: jax.Array
-            ) -> Tuple[RayArena, jax.Array]:
+def shuffle(scene: SceneData, arena: RayArena, fb: jax.Array,
+            initial: bool = True) -> Tuple[RayArena, jax.Array]:
     """Assign each unqueued ray its next instance, or retire it.
 
     Replicates TracerBase::shuffleRays (TracerBase.h:325-414) non-volume path
@@ -92,8 +92,22 @@ def shuffle(scene: SceneData, arena: RayArena, fb: jax.Array
     (`prev`) is excluded. On a hit the origin is bumped by 0.95*tnear
     (TracerBase.h:394). Retired SHADOW rays with nonzero color deposit
     color*w into the framebuffer (TracerBase.h:396-399).
+
+    initial=False (per-round calls): with a SINGLE instance every pending
+    ray just exited that instance (prev == 0), and the prev-exclusion makes
+    re-entry impossible — the slab pass is skipped and every pending ray
+    retires directly. Exact, not approximate.
     """
     pending = arena.active & (arena.inst < 0)
+
+    if scene.num_instances == 1 and not initial:
+        is_shadow = arena.type == int(RayType.SHADOW)
+        deposit = pending & is_shadow & (
+            jnp.sum(arena.color**2, axis=-1) > 0.0)
+        fb = image_lib.local_add(fb, arena.id,
+                                 arena.color * arena.w[:, None],
+                                 jnp.ones_like(arena.w), deposit)
+        return arena.replace(active=arena.active & ~pending), fb
 
     # reciprocal directions: zero components get a big finite value instead
     # of inf so reverse-mode AD stays NaN-free (double-where pattern);
@@ -173,6 +187,13 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
     mesh streaming the full arena each time. Dead lanes pack last; their
     blocks (and the alignment-padding blocks) get root -1 and are skipped,
     so late low-occupancy rounds traverse ~ceil(live/PACKET) blocks.
+
+    Padding scale: the packed arena is n + 2*M*PACKET lanes (M = local
+    mesh count) regardless of segment occupancy — skipped blocks make this
+    a memory/dispatch-width cost only. Under the domain scheduler M is the
+    PER-DEVICE mesh count (partition_accel), so M stays small even with
+    hundreds of domains; a single-device scene with M >> 100 would want
+    occupancy-capped padding instead.
     """
     from gravit_tpu.ops.intersect import Hit
     from gravit_tpu.ops.pallas_bvh import PACKET, bvh_intersect
@@ -236,10 +257,18 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
     dest = jnp.arange(n) + shift                 # sorted pos -> padded lane
 
     n_pad = n + S * PACKET                       # worst-case alignment waste
+    # place rows by composed-index GATHER: scatter only the int32 inverse
+    # (padded lane -> sorted pos); row scatters are ~5x dearer than gathers
+    # on v5e (scripts/micro_tpu5.py)
+    pos_of_pad = jnp.full((n_pad,), n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    lane_of_pad = jnp.where(
+        pos_of_pad < n, perm[jnp.clip(pos_of_pad, 0, n - 1)], n)
     packed = jnp.concatenate([
-        o_obj, d_obj, queued.astype(jnp.float32)[:, None]], axis=1)[perm]
-    arena_p = jnp.zeros((n_pad, packed.shape[1]), jnp.float32).at[dest].set(
-        packed)
+        o_obj, d_obj, queued.astype(jnp.float32)[:, None],
+    ], axis=1)
+    packed1 = jnp.concatenate([packed, jnp.zeros((1, 7), jnp.float32)])
+    arena_p = packed1[lane_of_pad]
     o_p, d_p = arena_p[:, 0:3], arena_p[:, 3:6]
     queued_p = arena_p[:, 6] > 0.5
 
@@ -265,11 +294,12 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
         u = jnp.where(lane_shadow, u2, u)
         v = jnp.where(lane_shadow, v2, v)
 
-    # unsort: padded lane -> sorted pos (gather via dest) -> arena lane
-    # (scatter via perm); one packed matrix + one int array
-    res_sorted = jnp.stack([t, u, v], axis=1)[dest]
-    hpack = jnp.zeros((n, 3), jnp.float32).at[perm].set(res_sorted)
-    hprim = jnp.full((n,), -1, jnp.int32).at[perm].set(prim[dest])
+    # unsort by composed-index gather: pad_of_lane[arena lane] = padded lane
+    # (one int32 scatter over the full permutation), then gather results
+    pad_of_lane = jnp.zeros((n,), jnp.int32).at[perm].set(
+        dest.astype(jnp.int32))
+    hpack = jnp.stack([t, u, v], axis=1)[pad_of_lane]
+    hprim = prim[pad_of_lane]
     miss = ~queued | (hpack[:, 0] >= FLT_MAX)
     return Hit(t=jnp.where(miss, FLT_MAX, hpack[:, 0]),
                prim=jnp.where(miss, -1, hprim),
@@ -366,7 +396,7 @@ def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
     arena = _append_rays(arena, spawn)
 
     # --- shuffle pending rays --------------------------------------------
-    arena, fb = shuffle(scene, arena, fb)
+    arena, fb = shuffle(scene, arena, fb, initial=False)
     return arena, fb
 
 
@@ -523,18 +553,25 @@ def _append_rays(arena: RayArena, spawn: jax.Array) -> RayArena:
     # allocate from the TOP of the arena (descending): camera rays occupy the
     # bottom, so spawns land in one contiguous high region instead of
     # scattering into just-retired low lanes — keeps live lanes block-compact
-    # for the BVH kernel without a sort pass
-    free_slots = -jnp.sort(
-        -jnp.where(~arena.active, jnp.arange(c, dtype=jnp.int32), -1))
-    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    slot = jnp.where(valid, free_slots[jnp.clip(rank, 0, c - 1)], -1)
-    # remap invalid/overflow (-1) to c: strictly out-of-bounds, so the
-    # mode="drop" scatter below discards those rows (negative indices would
-    # wrap instead of dropping)
-    slot = jnp.where(slot < 0, c, slot)
-
-    buf = jnp.zeros((c, 16), jnp.float32).at[slot].set(spawn, mode="drop")
-    written = buf[:, 15] > 0.5  # valid-flag column: 1.0 on every landed row
+    # for the BVH kernel. The k-th-free-lane-from-the-top map is built with a
+    # reversed cumsum + one scatter instead of a full sort (TPU sorts are
+    # ~10x the cost of a cumsum at this width; measured in micro_tpu4.py).
+    inact = ~arena.active
+    rank_top = jnp.cumsum(inact[::-1].astype(jnp.int32))[::-1] - 1
+    # land the rows by GATHER, not row-scatter: ONE int32 scatter builds
+    # rank -> spawn-row, then each free lane gathers its row through its
+    # own free-rank. A direct (c, 16) row scatter costs ~41 ms at this
+    # width on v5e vs ~8 ms for int-scatter + gather (micro_tpu5.py).
+    m = spawn.shape[0]
+    vrank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    row_of_rank = jnp.full((m,), m, jnp.int32).at[
+        jnp.where(valid, vrank, m)].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop")
+    # rank_top <= c-1 <= m-1 (m = c * num_lights); ranks with no valid
+    # spawn hit the fill value m -> lane stays unwritten
+    src_row = jnp.where(inact, row_of_rank[jnp.clip(rank_top, 0, m - 1)], m)
+    written = src_row < m
+    buf = spawn[jnp.clip(src_row, 0, m - 1)]
 
     def sel(col, old):
         return jnp.where(written, col, old)

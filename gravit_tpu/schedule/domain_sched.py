@@ -214,17 +214,31 @@ def _merge_incoming(arena: RayArena, incoming: RayArena):
     c = arena.capacity
     flat = jax.tree.map(
         lambda a: a.reshape((-1,) + a.shape[2:]), incoming)
-    free_slots = jnp.sort(
-        jnp.where(~arena.active, jnp.arange(c, dtype=jnp.int32), c))
-    n_free = jnp.sum((~arena.active).astype(jnp.int32))
+    # k-th free lane from the BOTTOM via cumsum + one scatter (no sort —
+    # same construction as tracer._append_rays, ascending order)
+    inact = ~arena.active
+    rank_bot = jnp.cumsum(inact.astype(jnp.int32)) - 1
+    lane_of_rank = jnp.full((c,), c, jnp.int32).at[
+        jnp.where(inact, rank_bot, c)].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop")
+    n_free = jnp.sum(inact.astype(jnp.int32))
     rank = jnp.cumsum(flat.active.astype(jnp.int32)) - 1
     overflow = flat.active & (rank >= n_free)
     dropped = jnp.sum(overflow.astype(jnp.int32))
     ok = flat.active & ~overflow
-    slot = jnp.where(ok, free_slots[jnp.clip(rank, 0, c - 1)], c)
+    slot = jnp.where(ok, lane_of_rank[jnp.clip(rank, 0, c - 1)], c)
+
+    # inverse map + per-field GATHER instead of per-field row scatter
+    # (row scatters are ~5x dearer than gathers on v5e, micro_tpu5.py)
+    m = slot.shape[0]
+    src_row = jnp.full((c,), m, jnp.int32).at[slot].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop")
+    written = src_row < m
+    src_safe = jnp.clip(src_row, 0, m - 1)
 
     def put(dst, src):
-        return dst.at[slot].set(src, mode="drop")
+        w = written.reshape((c,) + (1,) * (dst.ndim - 1))
+        return jnp.where(w, src[src_safe], dst)
 
     return jax.tree.map(put, arena, flat), dropped
 
