@@ -21,15 +21,32 @@ from gravit_tpu.core.rays import RAY_BOUNDARY, RAY_OPAQUE
 OPACITY_TERMINATION = 0.99
 
 
-def trilinear(samples: jax.Array, origin, spacing, pos):
+def corner_table(samples: jax.Array) -> jax.Array:
+    """Per-CELL corner table: C[cell] = the cell's 8 corner values, rows
+    contiguous, corner order (dz, dy, dx) = 000 001 010 011 100 101 110 111.
+
+    Why: XLA lowers an element gather with arbitrary per-element offsets
+    (the `flat[base + offs]` form) to near-serial loads on TPU, but a ROW
+    gather (slice_sizes=(1, 8)) vectorizes — the same measurement that
+    motivated the packed shade table in render/tracer._pack_shade_table.
+    The table is loop-invariant, so XLA builds it once per frame and the
+    march's hot loop pays ONE row gather per sample. 8x the volume's
+    memory, differentiable wrt samples (pure slicing/stack).
+    """
+    t = samples
+    return jnp.stack([
+        t[:-1, :-1, :-1], t[:-1, :-1, 1:], t[:-1, 1:, :-1], t[:-1, 1:, 1:],
+        t[1:, :-1, :-1], t[1:, :-1, 1:], t[1:, 1:, :-1], t[1:, 1:, 1:],
+    ], axis=-1).reshape(-1, 8)
+
+
+def trilinear(samples: jax.Array, origin, spacing, pos, corners=None):
     """Trilinear interpolation; samples (nz, ny, nx); pos (..., 3) world.
 
-    The 8 cell corners are fetched with ONE flat gather of shape (..., 8)
-    instead of 8 separate advanced-indexing gathers: random-index gathers
-    pay a large fixed per-op cost on TPU (same measurement that motivated
-    the packed shade table in render/tracer._pack_shade_table), and the
-    march body runs this every step. Arithmetic order is unchanged, so
-    results are bit-identical to the 8-gather form.
+    corners: optional precomputed corner_table(samples); passed by the
+    march loop so every step shares one hoisted table. Results are
+    bit-identical to the 8-separate-gather form (same values, same
+    arithmetic order).
     """
     nz, ny, nx = samples.shape
     f = (pos - origin) / spacing                       # grid coords (x,y,z)
@@ -41,12 +58,10 @@ def trilinear(samples: jax.Array, origin, spacing, pos):
     ty = jnp.clip(fy - iy, 0.0, 1.0)
     tz = jnp.clip(fz - iz, 0.0, 1.0)
 
-    base = (iz * ny + iy) * nx + ix
-    # corner order (dz, dy, dx): 000 001 010 011 100 101 110 111
-    offs = jnp.asarray([0, 1, nx, nx + 1,
-                        ny * nx, ny * nx + 1, ny * nx + nx, ny * nx + nx + 1],
-                       jnp.int32)
-    c = samples.reshape(-1)[base[..., None] + offs]    # (..., 8)
+    if corners is None:
+        corners = corner_table(samples)
+    cell = (iz * (ny - 1) + iy) * (nx - 1) + ix
+    c = corners[cell]                                  # (..., 8) row gather
 
     c00 = c[..., 0] * (1 - tx) + c[..., 1] * tx
     c01 = c[..., 2] * (1 - tx) + c[..., 3] * tx
@@ -57,21 +72,27 @@ def trilinear(samples: jax.Array, origin, spacing, pos):
     return c0 * (1 - tz) + c1 * tz
 
 
-def sample_amr(samples, origin, spacing, pos, subgrids=()):
+def sample_amr(samples, origin, spacing, pos, subgrids=(), corners=None,
+               sub_corners=None):
     """Sample the finest grid containing each position.
 
     subgrids: tuple of (samples, origin, spacing, lo, hi), ordered coarse ->
     fine (finer levels LAST so they override; Volume.h griddata tree).
+    corners / sub_corners: optional precomputed corner_table(s) so a march
+    loop builds them once (see march_brick).
     """
-    s = trilinear(samples, origin, spacing, pos)
-    for sub_samples, sub_origin, sub_spacing, sub_lo, sub_hi in subgrids:
+    s = trilinear(samples, origin, spacing, pos, corners)
+    for gi, (sub_samples, sub_origin, sub_spacing, sub_lo, sub_hi) in \
+            enumerate(subgrids):
         inside = jnp.all((pos >= sub_lo) & (pos <= sub_hi), axis=-1)
-        s_fine = trilinear(sub_samples, sub_origin, sub_spacing, pos)
+        s_fine = trilinear(sub_samples, sub_origin, sub_spacing, pos,
+                           sub_corners[gi] if sub_corners else None)
         s = jnp.where(inside, s_fine, s)
     return s
 
 
-def field_gradient(samples, origin, spacing, pos, subgrids=(), h=0.5):
+def field_gradient(samples, origin, spacing, pos, subgrids=(), h=0.5,
+                   corners=None, sub_corners=None):
     """Central-difference gradient of the scalar field (isosurface normal).
 
     The 6 stencil taps are sampled in ONE batched trilinear call (-> one
@@ -83,7 +104,8 @@ def field_gradient(samples, origin, spacing, pos, subgrids=(), h=0.5):
     eye_b = eye.reshape((3,) + (1,) * (pos.ndim - 1) + (3,))
     taps = jnp.concatenate([pos[None] + eye_b,
                             pos[None] - eye_b])        # (6, ..., 3)
-    s = sample_amr(samples, origin, spacing, taps, subgrids)  # (6, ...)
+    s = sample_amr(samples, origin, spacing, taps, subgrids,
+                   corners, sub_corners)                 # (6, ...)
     g = jnp.stack([(s[0] - s[3]) / (2 * h),
                    (s[1] - s[4]) / (2 * h),
                    (s[2] - s[5]) / (2 * h)], axis=-1)
@@ -134,13 +156,20 @@ def march_brick(o, d, active, color_in, w_in,
     base_step = jnp.min(spacing)
     correction = step / jnp.maximum(base_step, 1e-30)
 
+    # corner tables built ONCE (loop-invariant): the march body then pays a
+    # single vectorizable row gather per field sample instead of an
+    # 8-offset element gather (see corner_table)
+    main_corners = corner_table(samples)
+    sub_corners = tuple(corner_table(sg[0]) for sg in subgrids)
+
     n = o.shape[0]
     view = -d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1,
                                              keepdims=True), 1e-30))
 
     def surface_deposit(color, w, pos, base_rgb, inside):
         """Opaque implicit-surface hit: headlight lambert, w -> 1."""
-        nrm = field_gradient(samples, origin, spacing, pos, subgrids)
+        nrm = field_gradient(samples, origin, spacing, pos, subgrids,
+                             corners=main_corners, sub_corners=sub_corners)
         ndv = jnp.abs(jnp.sum(nrm * view, axis=-1))
         shade = ISO_KA + ISO_KD * ndv
         c_surf = base_rgb * shade[:, None]
@@ -154,7 +183,8 @@ def march_brick(o, d, active, color_in, w_in,
         kk = ko * chunk + jnp.arange(chunk)              # (K,) step indices
         t_blk = t_in[:, None] + step * (kk[None, :] + 0.5)   # (N, K)
         pos_blk = o[:, None, :] + t_blk[..., None] * d[:, None, :]
-        s_blk = sample_amr(samples, origin, spacing, pos_blk, subgrids)
+        s_blk = sample_amr(samples, origin, spacing, pos_blk, subgrids,
+                           main_corners, sub_corners)
         rgb_blk, a_blk = apply_tf(color_lut, opacity_lut, vrange, s_blk)
 
         for j in range(chunk):

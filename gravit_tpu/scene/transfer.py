@@ -79,9 +79,14 @@ def apply_tf(color_lut, opacity_lut, vrange, scalar):
     LUTs.
     """
     rgba = jnp.concatenate([color_lut, opacity_lut[:, None]], axis=1)
+    # adjacent-entry PAIRS packed per row: one 8-wide row gather per lookup
+    # instead of two 4-wide ones (row gathers vectorize on TPU; element /
+    # extra gathers pay a fixed per-op cost). Loop-invariant, hoisted.
+    pairs = jnp.concatenate([rgba[:-1], rgba[1:]], axis=1)     # (255, 8)
     x = (scalar - vrange[0]) / jnp.maximum(vrange[1] - vrange[0], 1e-30)
     x = jnp.clip(x, 0.0, 1.0) * 255.0
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, 254)
     frac = (x - i0)[..., None]
-    v = rgba[i0] * (1 - frac) + rgba[i0 + 1] * frac
+    p = pairs[i0]
+    v = p[..., 0:4] * (1 - frac) + p[..., 4:8] * frac
     return v[..., 0:3], v[..., 3]
