@@ -678,6 +678,92 @@ def trace_image_stepped(scene: SceneData, arena: RayArena, width: int,
     return fb
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
+                     height: int, accel=None) -> jax.Array:
+    """Single-instance megapass: the whole frame in TWO intersection
+    dispatches (one closest-hit over the camera wavefront, one any-hit over
+    the spawned shadow wavefront) with zero arena churn.
+
+    Exactly equivalent to trace_image when (a) the scene has ONE instance
+    and (b) no ray can Russian-roulette bounce (camera max_depth == 1:
+    EmbreeMeshAdapter.cpp:584-588 requires depth-1 > 0). Under those
+    conditions the wavefront loop is statically known to run: shuffle ->
+    closest-hit+shade+spawn -> shadow any-hit -> retire/deposit. Writing it
+    straight-line deletes the per-round costs that dominate the looped
+    tracer (spawn free-lane allocation, arena-wide selects over (1+L)x
+    capacity lanes, extra kernel rounds) — the VERDICT round-2 "glue gap".
+
+    `rays` is the raw camera wavefront (make_arena not needed). Callers
+    gate on `scene.num_instances == 1 and camera.max_depth == 1` and fall
+    back to trace_image otherwise.
+    """
+    from gravit_tpu.ops.pallas_bvh import PACKET
+
+    fb = image_lib.new_framebuffer(width, height)
+    n0 = rays.capacity
+    if n0 % PACKET:
+        pad = PACKET - n0 % PACKET
+        rays = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), rays)
+
+    # phase 0: assign camera rays their first (only) instance
+    arena, fb = shuffle(scene, rays, fb)
+
+    # phase 1: closest-hit + shade + shadow spawn (round 0 of trace_image)
+    o_obj, d_obj, ray_mesh = to_object_space(scene, arena)
+    queued = arena.active & (arena.inst >= 0) & (ray_mesh >= 0)
+    if accel is not None:
+        hit = _intersect_bvh(scene, accel, o_obj, d_obj, ray_mesh, queued)
+    else:
+        hit = intersect_closest(
+            o_obj, d_obj, ray_mesh, queued,
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_mesh,
+            tile=_choose_tile(scene.num_triangles))
+    surf_hits = queued & (hit.prim >= 0)
+    arena, fb, spawn = _process_surface_hits(
+        scene, arena, fb, hit, surf_hits, jnp.int32(0))
+
+    # phase 2: occlusion-test the spawn matrix IN PLACE — its (light, lane)
+    # layout is already dense, so no free-lane scatter is needed. Shadow
+    # rays live in the same (single) instance they spawned in.
+    m = spawn.shape[0]
+    if m == 0:
+        return image_lib.clamp_rgb(fb)
+    s_valid = spawn[:, 15] > 0.5
+    minv = scene.inst_minv[0]
+    s_o = jnp.einsum("ij,nj->ni", minv[:3, :3], spawn[:, 0:3]) + minv[:3, 3]
+    s_d = jnp.einsum("ij,nj->ni", minv[:3, :3], spawn[:, 3:6])
+    if m % PACKET:
+        padm = PACKET - m % PACKET
+        z = lambda a: jnp.concatenate(
+            [a, jnp.zeros((padm,) + a.shape[1:], a.dtype)])
+        s_o, s_d, s_valid_p = z(s_o), z(s_d), z(s_valid)
+    else:
+        s_valid_p = s_valid
+    mesh_ids = jnp.broadcast_to(scene.inst_mesh[0], (s_o.shape[0],))
+    if accel is not None:
+        hit2 = _intersect_bvh(
+            scene, accel, s_o, s_d, mesh_ids, s_valid_p,
+            is_shadow=jnp.ones_like(s_valid_p))
+    else:
+        hit2 = intersect_closest(
+            s_o, s_d, mesh_ids, s_valid_p,
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_mesh,
+            tile=_choose_tile(scene.num_triangles))
+    occluded = hit2.prim[:m] >= 0
+
+    # retire: unoccluded shadow rays deposit color*w (TracerBase.h:396-399)
+    color = spawn[:, 6:9]
+    deposit = (s_valid & ~occluded
+               & (jnp.sum(color**2, axis=-1) > 0.0))
+    fb = image_lib.local_add(
+        fb, spawn[:, 12].astype(jnp.int32), color * spawn[:, 11:12],
+        jnp.ones((m,), jnp.float32), deposit)
+    return image_lib.clamp_rgb(fb)
+
+
 def make_arena(camera_rays: RayArena, num_lights: int,
                slack: float = 1.25) -> RayArena:
     """Embed camera rays into an arena with room for shadow spawns."""

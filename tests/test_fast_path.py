@@ -1,0 +1,82 @@
+"""trace_image_fast must agree with the looped tracer bit-for-bit on its
+valid domain (one instance, max_depth=1) — it is the bench flagship path,
+so equality is gated in CI on both the brute and the (interpreted) Pallas
+accel intersectors."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gravit_tpu.render.tracer import make_arena, trace_image, trace_image_fast
+from gravit_tpu.render.scene_build import Instance, build_scene
+from gravit_tpu.scene.camera import PerspectiveCamera
+from gravit_tpu.scene.light import ambient_light, area_light, point_light
+
+from scenes import cone_mesh, cube_mesh
+
+
+def _single_instance(lights, w=32, h=32, samples=1):
+    scene = build_scene(
+        [cube_mesh()],
+        [Instance(mesh_id=0, m=np.eye(4, dtype=np.float32))],
+        lights)
+    cam = PerspectiveCamera(
+        eye=(2.0, 0.6, 1.2), focus=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0),
+        fov=float(45.0 * np.pi / 180.0), film_width=w, film_height=h,
+        samples=samples, max_depth=1, jitter_window=0.5)
+    return scene, cam
+
+
+LIGHT_SETS = {
+    "point": [point_light((1.5, 1.5, 0.0), (1.0, 0.8, 0.6))],
+    "mixed": [point_light((1.5, 1.5, 0.0), (0.7, 0.7, 0.7)),
+              ambient_light((0.1, 0.1, 0.15)),
+              area_light((0.0, 2.0, 0.5), (0.9, 0.9, 0.9),
+                         (0.0, -1.0, 0.0), 0.5, 0.5)],
+}
+
+
+@pytest.mark.parametrize("lights_key", sorted(LIGHT_SETS))
+def test_fast_equals_loop_brute(lights_key):
+    scene, cam = _single_instance(LIGHT_SETS[lights_key])
+    rays = cam.generate_rays()
+    arena = make_arena(rays, scene.num_lights)
+    fb_loop = trace_image(scene, arena, 32, 32, max_rounds=8)
+    fb_fast = trace_image_fast(scene, rays, 32, 32)
+    np.testing.assert_array_equal(np.asarray(fb_loop)[:, :3],
+                                  np.asarray(fb_fast)[:, :3])
+    assert float(np.asarray(fb_fast)[:, :3].sum()) > 0.0
+
+
+def test_fast_equals_loop_accel_interpret():
+    os.environ["GRAVIT_PALLAS_INTERPRET"] = "1"
+    try:
+        from gravit_tpu.accel.scene_accel import build_scene_bvh
+
+        scene, cam = _single_instance(LIGHT_SETS["mixed"])
+        accel = build_scene_bvh([cube_mesh()])
+        rays = cam.generate_rays()
+        arena = make_arena(rays, scene.num_lights)
+        fb_loop = trace_image(scene, arena, 32, 32, max_rounds=8,
+                              accel=accel)
+        fb_fast = trace_image_fast(scene, rays, 32, 32, accel=accel)
+        np.testing.assert_array_equal(np.asarray(fb_loop)[:, :3],
+                                      np.asarray(fb_fast)[:, :3])
+    finally:
+        os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+
+
+def test_fast_samples4():
+    # samples>1: several rays deposit into one pixel; the loop path's
+    # top-down spawn lane order and the fast path's dense (light, lane)
+    # order sum the same contributions in different float order, so this
+    # case is allclose (1-sample parity configs above stay bit-exact)
+    scene, cam = _single_instance(LIGHT_SETS["point"], samples=2)
+    rays = cam.generate_rays()
+    arena = make_arena(rays, scene.num_lights)
+    fb_loop = trace_image(scene, arena, 32, 32, max_rounds=8)
+    fb_fast = trace_image_fast(scene, rays, 32, 32)
+    np.testing.assert_allclose(np.asarray(fb_loop)[:, :3],
+                               np.asarray(fb_fast)[:, :3],
+                               atol=1e-6, rtol=0)
