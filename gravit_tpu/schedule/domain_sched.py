@@ -42,10 +42,39 @@ def round_robin_owners(num_instances: int, n_dev: int) -> np.ndarray:
     return (np.arange(num_instances) % n_dev).astype(np.int32)
 
 
+def one_hot_residency(owners: np.ndarray, n_dev: int) -> np.ndarray:
+    res = np.zeros((owners.shape[0], n_dev), bool)
+    res[np.arange(owners.shape[0]), owners] = True
+    return res
+
+
+def build_routes(resident: np.ndarray):
+    """Routing tables from a (I, D) residency matrix.
+
+    Returns (route, n_rep): `route[i]` lists domain i's resident devices
+    cyclically padded to D entries; a ray with pixel id `p` bound for
+    domain i is served by `route[i, p % n_rep[i]]` — static round-robin
+    over replicas, the TPU analog of the TVCG'13 replication policies
+    actually SERVING rays from a replica (LoadAnotherSchedule.h:49-90)
+    rather than just holding a copy.
+    """
+    I, D = resident.shape
+    route = np.zeros((I, D), np.int32)
+    n_rep = np.ones((I,), np.int32)
+    for i in range(I):
+        devs = np.nonzero(resident[i])[0]
+        if devs.size == 0:
+            devs = np.array([0])
+        n_rep[i] = devs.size
+        route[i] = np.resize(devs, D)
+    return route, n_rep
+
+
 def partition_scene(meshes: Sequence[CompiledMesh],
                     instances: Sequence[Instance],
                     lights: Sequence[Light],
-                    n_dev: int, owners: np.ndarray | None = None):
+                    n_dev: int, owners: np.ndarray | None = None,
+                    resident: np.ndarray | None = None):
     """Build per-device SceneData stacked on a leading device axis.
 
     Device d's triangle soup holds only the meshes its instances need
@@ -53,9 +82,16 @@ def partition_scene(meshes: Sequence[CompiledMesh],
     tables (AABBs, transforms) are replicated — they are tiny and every
     device needs them for the shuffle. inst_mesh is LOCAL mesh ids, -1 for
     foreign instances (their rays are never traced locally).
+
+    `resident` ((I, D) bool, multi-hot rows allowed) replicates a domain's
+    mesh data onto EVERY device marked resident — the replication policies'
+    data placement. When omitted it is the one-hot of `owners`.
     """
-    if owners is None:
-        owners = round_robin_owners(len(instances), n_dev)
+    if resident is None:
+        if owners is None:
+            owners = round_robin_owners(len(instances), n_dev)
+        resident = one_hot_residency(np.asarray(owners), n_dev)
+    owners = primary_owner_np(resident)
 
     # correct world bboxes need GLOBAL mesh bounds (a device's local mesh
     # list can't resolve foreign instances' meshes)
@@ -64,16 +100,15 @@ def partition_scene(meshes: Sequence[CompiledMesh],
 
     per_dev = []
     for d in range(n_dev):
-        local_mesh_ids = _local_mesh_ids(instances, owners, d)
+        local_mesh_ids = _local_mesh_ids(instances, resident, d)
         gl2loc = {g: l for l, g in enumerate(local_mesh_ids)}
         local_meshes = [meshes[g] for g in local_mesh_ids]
-        # all instances, with local mesh ids (or -1 if not owned here)
+        # all instances, with local mesh ids (or -1 if not resident here)
         inst = [Instance(mesh_id=gl2loc.get(instances[i].mesh_id, 0),
                          m=instances[i].m) for i in range(len(instances))]
         sd = build_scene(local_meshes if local_meshes else [meshes[0]],
                          inst, lights)
-        mask = np.array([1 if owners[i] == d else 0
-                         for i in range(len(instances))], np.int32)
+        mask = resident[:, d].astype(np.int32)
         per_dev.append((sd, mask))
 
     # pad triangle-soup + vertex leaves to the max size across devices
@@ -124,14 +159,18 @@ def _pad_scene_tris(sd: SceneData, t_max: int) -> SceneData:
     )
 
 
-def _local_mesh_ids(instances, owners, d):
+def _local_mesh_ids(instances, resident, d):
     return sorted({instances[i].mesh_id for i in range(len(instances))
-                   if owners[i] == d})
+                   if resident[i, d]})
+
+
+def primary_owner_np(resident: np.ndarray) -> np.ndarray:
+    return np.argmax(resident, axis=1).astype(np.int32)
 
 
 def partition_accel(meshes: Sequence[CompiledMesh],
                     instances: Sequence[Instance],
-                    n_dev: int, owners: np.ndarray) -> SceneBVH:
+                    n_dev: int, resident: np.ndarray) -> SceneBVH:
     """Per-device Pallas BVH accel, padded to common shapes and stacked on a
     leading device axis (mirror of partition_scene's triangle partitioning).
 
@@ -140,9 +179,11 @@ def partition_accel(meshes: Sequence[CompiledMesh],
     gives the domain scheduler the same property: each device owns the flat
     BVHs of only its local meshes. Padding mesh slots get root -1 (their
     ray blocks are skipped by the kernel)."""
+    if resident.ndim == 1:  # legacy owners vector
+        resident = one_hot_residency(np.asarray(resident), n_dev)
     per_dev = []
     for d in range(n_dev):
-        ids = _local_mesh_ids(instances, owners, d)
+        ids = _local_mesh_ids(instances, resident, d)
         local = [meshes[g] for g in ids] if ids else [meshes[0]]
         per_dev.append(build_scene_bvh(local))
 
@@ -249,7 +290,11 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
                  exchange_cap: int | None = None,
                  ray_axis: str | None = None,
                  accel: SceneBVH | None = None,
-                 return_stats: bool = False):
+                 return_stats: bool = False,
+                 resident: np.ndarray | None = None,
+                 return_load: bool = False,
+                 initial_shuffle: bool = True,
+                 return_arena: bool = False):
     """Run the domain-scheduled trace over the device mesh; returns fb.
 
     arena: the FULL camera wavefront, replicated (every device filters to
@@ -270,55 +315,102 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
     overflow (pack + merge). Nonzero means the image is missing energy —
     callers should grow exchange_cap / arena capacity (DomainRenderer.render
     does this automatically).
+
+    resident: optional (I, n_dev) bool residency matrix (multi-hot rows =
+    replicated domains). A ray bound for domain i is served by ANY device
+    resident for i: it stays put if its current device is resident,
+    otherwise it is routed round-robin by pixel id over i's replicas
+    (build_routes) — the end-to-end realization of the TVCG'13 replication
+    policies (LoadAnother/LoadMany/AdaptiveSend). Default: one-hot of
+    `owners`.
+
+    return_load: additionally return a (n_dev,) per-device count of
+    ray-rounds traced (the measured queue histogram the hybrid policies
+    feed on).
+
+    initial_shuffle=False resumes a PARTIAL frame (in-frame hybrid remap,
+    HybridTracer.h:223-299): `arena` is then the (n_dev*C,) stacked
+    per-device state a previous return_arena=True call produced, sharded
+    back onto the devices; no camera-ray claim runs. Rays whose domain
+    moved since the pause simply park one round and migrate through the
+    normal exchange. return_arena=True additionally returns (stacked
+    arena, per-domain pending histogram) so the caller can decide whether
+    to reshard before resuming.
     """
     n_dev = mesh.shape[axis]
     cap = exchange_cap or max(1024, arena.capacity // n_dev)
 
+    if resident is None:
+        resident = one_hot_residency(np.asarray(owners), n_dev)
+    route_np, n_rep_np = build_routes(np.asarray(resident))
+    route = jnp.asarray(route_np)
+    n_rep = jnp.asarray(n_rep_np)
+    res = jnp.asarray(np.asarray(resident).astype(np.int32))
+
     scene_specs = jax.tree.map(lambda _: P(axis), scene_stacked)
-    arena_specs = jax.tree.map(
-        lambda _: P(ray_axis) if ray_axis else P(), arena)
+    arena_in = P(axis) if not initial_shuffle else (
+        P(ray_axis) if ray_axis else P())
+    arena_specs = jax.tree.map(lambda _: arena_in, arena)
     accel_specs = jax.tree.map(lambda _: P(axis), accel)
+    arena_out = jax.tree.map(lambda _: P(axis), arena)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(scene_specs, P(), arena_specs, accel_specs),
-        out_specs=(P(), P()),
+        in_specs=(scene_specs, P(), P(), P(), arena_specs, accel_specs),
+        out_specs=(P(), P(), P(), arena_out, P()),
         check_vma=False)
-    def run(scene_d, owners, arena, accel_d):
+    def run(scene_d, route, n_rep, res, arena, accel_d):
         unstack = lambda a: a[0] if a.ndim and a.shape[0] == 1 else a
         scene_l = jax.tree.map(unstack, scene_d)
         accel_l = jax.tree.map(unstack, accel_d)
         me = jax.lax.axis_index(axis)
         tile = tracer_lib._choose_tile(scene_l.tri_v0.shape[0])
         fb = image_lib.new_framebuffer(width, height)
+        n_inst = route.shape[0]
 
-        # initial filter: assign first instances, keep local rays only
-        # (shuffleDropRays, DomainTracer.h:148-183)
-        arena, fb = tracer_lib.shuffle(scene_l, arena, fb)
-        local = owners[jnp.clip(arena.inst, 0, owners.shape[0] - 1)] == me
-        arena = arena.replace(
-            active=arena.active & ((arena.inst < 0) | local))
+        def serving_device(inst, ray_id):
+            """Replica that serves (domain, ray): round-robin by pixel id."""
+            i = jnp.clip(inst, 0, n_inst - 1)
+            return route[i, ray_id % n_rep[i]]
+
+        if initial_shuffle:
+            # initial filter: assign first instances, keep rays THIS device
+            # serves (shuffleDropRays, DomainTracer.h:148-183; replicas
+            # split a hot domain's primary wavefront between them)
+            arena, fb = tracer_lib.shuffle(scene_l, arena, fb)
+            claim = serving_device(arena.inst, arena.id) == me
+            arena = arena.replace(
+                active=arena.active & ((arena.inst < 0) | claim))
+        # (initial_shuffle=False: the P(axis) in_spec already delivered this
+        # device's (C, ...) shard of the stacked arena — resume as-is)
 
         def round_fn(state):
-            r, arena, fb, drops = state
+            r, arena, fb, drops, traced = state
+            # load metric: rays actually traceable here this round (parked
+            # foreign rays awaiting migration are not local work)
+            here0 = res[jnp.clip(arena.inst, 0, n_inst - 1), me] > 0
+            traced = traced + jnp.sum(
+                (arena.active & (arena.inst >= 0) & here0)
+                .astype(jnp.int32))
             # trace_round only processes rays whose instance has local mesh
             # data (inst_mesh == -1 for foreign instances parks the lane)
             arena, fb2 = tracer_lib.trace_round(scene_l, arena, fb, r, tile,
                                                 accel=accel_l)
-            # exchange: send rays whose target is foreign
-            inst_owner = owners[jnp.clip(arena.inst, 0, owners.shape[0] - 1)]
-            send = arena.active & (arena.inst >= 0) & (inst_owner != me)
-            dest = jnp.where(send, inst_owner, -1)
+            # exchange: a ray migrates only if NO local replica serves its
+            # target domain; its destination replica is picked by pixel id
+            here = res[jnp.clip(arena.inst, 0, n_inst - 1), me] > 0
+            send = arena.active & (arena.inst >= 0) & ~here
+            dest = jnp.where(send, serving_device(arena.inst, arena.id), -1)
             arena, packed, d_pack = _pack_exchange(arena, dest, n_dev, cap)
             incoming = jax.tree.map(
                 lambda a: jax.lax.all_to_all(
                     a, axis, split_axis=0, concat_axis=0, tiled=False),
                 packed)
             arena, d_merge = _merge_incoming(arena, incoming)
-            return r + 1, arena, fb2, drops + d_pack + d_merge
+            return r + 1, arena, fb2, drops + d_pack + d_merge, traced
 
         def cond(state):
-            r, arena, fb, drops = state
+            r, arena, fb, drops, traced = state
             live = jnp.sum((arena.active & (arena.inst >= 0))
                            .astype(jnp.int32))
             live = jax.lax.psum(live, axis)
@@ -326,20 +418,37 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
                 live = jax.lax.psum(live, ray_axis)
             return (r < max_rounds) & (live > 0)
 
-        _, arena, fb, drops = jax.lax.while_loop(
-            cond, round_fn, (jnp.int32(0), arena, fb, jnp.int32(0)))
+        _, arena, fb, drops, traced = jax.lax.while_loop(
+            cond, round_fn,
+            (jnp.int32(0), arena, fb, jnp.int32(0), jnp.int32(0)))
         fb = jax.lax.psum(fb, axis)
         drops = jax.lax.psum(drops, axis)
+        load = jax.lax.all_gather(traced, axis)  # per-device histogram
+        # per-domain pending histogram (the gathered (domain, #rays) map
+        # the hybrid remap consumes, HybridTracer.h:223-265)
+        live_mask = (arena.active & (arena.inst >= 0)).astype(jnp.int32)
+        hist = jnp.zeros((n_inst,), jnp.int32).at[
+            jnp.clip(arena.inst, 0, n_inst - 1)].add(live_mask, mode="drop")
+        hist = jax.lax.psum(hist, axis)
         if ray_axis:
             fb = jax.lax.psum(fb, ray_axis)
             drops = jax.lax.psum(drops, ray_axis)
-        return fb, drops
+            load = jax.lax.psum(load, ray_axis)
+            hist = jax.lax.psum(hist, ray_axis)
+        return fb, drops, load, arena, hist
 
-    fb, drops = run(scene_stacked, owners, arena, accel)
-    fb = image_lib.clamp_rgb(fb)
+    fb, drops, load, arena_out_v, hist = run(
+        scene_stacked, route, n_rep, res, arena, accel)
+    if not return_arena:
+        fb = image_lib.clamp_rgb(fb)
+    out = [fb]
     if return_stats:
-        return fb, drops
-    return fb
+        out.append(drops)
+    if return_load:
+        out.append(load)
+    if return_arena:
+        out += [arena_out_v, hist]
+    return tuple(out) if len(out) > 1 else fb
 
 
 @dataclasses.dataclass
@@ -355,40 +464,47 @@ class DomainRenderer:
     instances_src: Sequence = None
     lights_src: Sequence = None
     accel: SceneBVH | None = None
+    resident: np.ndarray | None = None  # (I, n_dev) bool, multi-hot ok
 
     @classmethod
     def build(cls, meshes, instances, lights, mesh: Mesh,
               axis: str = "domains", owners: np.ndarray | None = None,
-              use_accel: bool = False):
+              use_accel: bool = False,
+              resident: np.ndarray | None = None):
         n_dev = mesh.shape[axis]
+        if resident is None:
+            if owners is None:
+                owners = round_robin_owners(len(instances), n_dev)
+            resident = one_hot_residency(np.asarray(owners), n_dev)
         stacked, owners = partition_scene(meshes, instances, lights, n_dev,
-                                          owners)
-        accel = (partition_accel(meshes, instances, n_dev,
-                                 np.asarray(owners))
+                                          resident=resident)
+        accel = (partition_accel(meshes, instances, n_dev, resident)
                  if use_accel else None)
         return cls(stacked, owners, mesh, axis, meshes, instances, lights,
-                   accel)
+                   accel, resident)
 
     def reschedule(self, pending: np.ndarray, policy: str = "RayWeightedSpread"):
-        """Hybrid scheduling: recompute domain->device placement from
+        """Hybrid scheduling: recompute domain->device RESIDENCY from
         per-domain pending-ray counts using a schedule/policies.py policy,
         then repartition (the HybridTracer remap, HybridTracer.h:223-299,
-        applied between frames)."""
-        from gravit_tpu.schedule.policies import POLICIES, primary_owner
+        applied between frames). Multi-hot rows from the replication
+        policies (LoadAnother/LoadMany/AdaptiveSend) are kept as-is: every
+        resident device holds the domain's data and serves a round-robin
+        share of its rays (trace_domain's replica routing)."""
+        from gravit_tpu.schedule.policies import POLICIES
 
         n_dev = self.mesh.shape[self.axis]
         resident = POLICIES[policy](np.asarray(pending),
                                     np.asarray(self.owners), n_dev)
-        new_owners = primary_owner(resident)
         stacked, owners = partition_scene(
             self.meshes_src, self.instances_src, self.lights_src, n_dev,
-            new_owners)
+            resident=resident)
         accel = (partition_accel(self.meshes_src, self.instances_src, n_dev,
-                                 np.asarray(owners))
+                                 resident)
                  if self.accel is not None else None)
         return DomainRenderer(stacked, owners, self.mesh, self.axis,
                               self.meshes_src, self.instances_src,
-                              self.lights_src, accel)
+                              self.lights_src, accel, resident)
 
     def pending_histogram(self, camera) -> np.ndarray:
         """Per-domain primary-ray demand (the gathered (domain, #rays)
@@ -409,7 +525,88 @@ class DomainRenderer:
         n_inst = int(scene.num_instances)
         return np.bincount(inst[act & (inst >= 0)], minlength=n_inst)
 
-    def render(self, camera, max_rounds: int = 32, max_grows: int = 3):
+    def repartition(self, resident: np.ndarray) -> "DomainRenderer":
+        """Re-place domain data per a new residency matrix (same mesh)."""
+        n_dev = self.mesh.shape[self.axis]
+        stacked, owners = partition_scene(
+            self.meshes_src, self.instances_src, self.lights_src, n_dev,
+            resident=resident)
+        accel = (partition_accel(self.meshes_src, self.instances_src, n_dev,
+                                 resident)
+                 if self.accel is not None else None)
+        return DomainRenderer(stacked, owners, self.mesh, self.axis,
+                              self.meshes_src, self.instances_src,
+                              self.lights_src, accel, resident)
+
+    def render_hybrid(self, camera, chunk: int = 4, tau: float = 2.0,
+                      policy: str = "RayWeightedSpread",
+                      max_rounds: int = 32, return_load: bool = False):
+        """IN-FRAME hybrid scheduling (HybridTracer.h:223-299): trace in
+        chunks of `chunk` rounds; after each chunk psum the per-domain
+        pending histogram, and when the per-device load imbalance exceeds
+        `tau` (max/mean over devices with work), re-place domains with
+        `policy` and resume the SAME frame. Rays ride along in the stacked
+        arena; ones whose domain moved migrate through the normal exchange
+        on the next round. Host-stepped outer loop: each chunk is one
+        compiled program, the remap decision is host-side — the TPU analog
+        of the reference's per-iteration master remap."""
+        import jax.numpy as jnp
+
+        from gravit_tpu.schedule.policies import POLICIES
+
+        rays = camera.generate_rays()
+        arena = tracer_lib.make_arena(rays,
+                                      int(self.scene_stacked.num_lights))
+        n_dev = self.mesh.shape[self.axis]
+        cap = max(1024, arena.capacity // n_dev)
+        dr = self
+        if dr.resident is None:
+            dr = dataclasses.replace(dr, resident=one_hot_residency(
+                np.asarray(dr.owners), n_dev))
+        fb_total = image_lib.new_framebuffer(camera.film_width,
+                                             camera.film_height)
+        loads = np.zeros((n_dev,), np.int64)
+        first = True
+        done_rounds = 0
+        while done_rounds < max_rounds:
+            fb, drops, load, arena, hist = trace_domain(
+                dr.scene_stacked, dr.owners, arena,
+                camera.film_width, camera.film_height,
+                dr.mesh, dr.axis, min(chunk, max_rounds - done_rounds),
+                exchange_cap=cap, accel=dr.accel,
+                return_stats=True, return_load=True,
+                resident=dr.resident, initial_shuffle=first,
+                return_arena=True)
+            if int(drops) > 0:
+                raise RuntimeError(
+                    f"in-frame exchange dropped {int(drops)} rays at "
+                    f"cap={cap}; increase arena/exchange capacity")
+            fb_total = fb_total + fb
+            loads += np.asarray(load, np.int64)
+            done_rounds += chunk
+            first = False
+            hist = np.asarray(hist)
+            if hist.sum() == 0:
+                break
+            # device load for the REMAINING work under current residency
+            route_np, n_rep_np = build_routes(np.asarray(dr.resident))
+            dev_pending = np.zeros(n_dev)
+            for i in np.nonzero(hist)[0]:
+                dev_pending[route_np[i, :n_rep_np[i]]] += (
+                    hist[i] / n_rep_np[i])
+            # imbalance over ALL devices (an idle device is the imbalance
+            # signal, not a reason to shrink the denominator)
+            if dev_pending.max() > 0 and (
+                    dev_pending.max() / dev_pending.mean() > tau):
+                resident = POLICIES[policy](hist, primary_owner_np(
+                    np.asarray(dr.resident)), n_dev)
+                if not np.array_equal(resident, dr.resident):
+                    dr = dr.repartition(resident)
+        fb_total = image_lib.clamp_rgb(fb_total)
+        return (fb_total, jnp.asarray(loads)) if return_load else fb_total
+
+    def render(self, camera, max_rounds: int = 32, max_grows: int = 3,
+               return_load: bool = False):
         """Render a frame; on exchange overflow, retry with doubled
         exchange capacity (auto-grow) so silent ray loss cannot produce a
         quietly wrong image. Raises if drops persist after max_grows."""
@@ -418,13 +615,14 @@ class DomainRenderer:
         n_dev = self.mesh.shape[self.axis]
         cap = max(1024, arena.capacity // n_dev)
         for _ in range(max_grows + 1):
-            fb, drops = trace_domain(
+            fb, drops, load = trace_domain(
                 self.scene_stacked, self.owners, arena,
                 camera.film_width, camera.film_height,
                 self.mesh, self.axis, max_rounds,
-                exchange_cap=cap, accel=self.accel, return_stats=True)
+                exchange_cap=cap, accel=self.accel, return_stats=True,
+                resident=self.resident, return_load=True)
             if int(drops) == 0:
-                return fb
+                return (fb, load) if return_load else fb
             cap = min(cap * 2, arena.capacity)
         raise RuntimeError(
             f"ray exchange still dropping {int(drops)} rays at "
