@@ -69,6 +69,13 @@ class SceneData:
     lights_w: jax.Array      # (L, 3)
     lights_wh: jax.Array     # (L, 2)
 
+    # optional top-level instance BVH (accel/instance_bvh.py): built when
+    # the instance count crosses INSTANCE_BVH_THRESHOLD so the shuffle is
+    # log-time instead of the O(N x I) slab scan (BVH.cpp:77-216 analog).
+    # None = scan path. Static tree (not differentiable wrt instance AABBs;
+    # t_entry of the winning instance is recomputed differentiably).
+    inst_bvh: object = None
+
     # static metadata
     num_instances: int = struct.field(pytree_node=False, default=0)
     num_lights: int = struct.field(pytree_node=False, default=0)
@@ -89,10 +96,14 @@ class Instance:
     m: np.ndarray  # (4, 4) row-major world transform
 
 
+INSTANCE_BVH_THRESHOLD = 64
+
+
 def build_scene(meshes: Sequence[CompiledMesh],
                 instances: Sequence[Instance],
                 lights: Sequence[Light],
-                pad_tris_to: Optional[int] = None) -> SceneData:
+                pad_tris_to: Optional[int] = None,
+                instance_bvh: Optional[bool] = None) -> SceneData:
     offsets, counts = [], []
     off = 0
     for m in meshes:
@@ -180,7 +191,16 @@ def build_scene(meshes: Sequence[CompiledMesh],
 
     lb: LightBundle = bundle_lights(list(lights))
 
+    if instance_bvh is None:
+        instance_bvh = n_inst >= INSTANCE_BVH_THRESHOLD
+    ibvh = None
+    if instance_bvh and n_inst > 1:
+        from gravit_tpu.accel.instance_bvh import build_instance_bvh
+
+        ibvh = build_instance_bvh(inst_lo, inst_hi)
+
     return SceneData(
+        inst_bvh=ibvh,
         vertices=jnp.asarray(vertices), faces=jnp.asarray(faces),
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2), tri_ng=jnp.asarray(tri_ng),

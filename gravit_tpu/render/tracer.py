@@ -116,21 +116,37 @@ def shuffle(scene: SceneData, arena: RayArena, fb: jax.Array,
     small = jnp.abs(dd) < 1e-30
     d_safe = jnp.where(small, 1.0, dd)
     inv_dir = jnp.where(small, jnp.where(dd < 0, -1e30, 1e30), 1.0 / d_safe)
-    # (N, I) slab tests against every instance AABB
-    l = (scene.inst_lo[None, :, :] - arena.origin[:, None, :]) * inv_dir[:, None, :]
-    u = (scene.inst_hi[None, :, :] - arena.origin[:, None, :]) * inv_dir[:, None, :]
-    tnear = jnp.max(jnp.minimum(l, u), axis=-1)
-    tfar = jnp.min(jnp.maximum(l, u), axis=-1)
-    hit = (
-        (tfar > tnear)
-        & (tnear > RAY_EPSILON)
-        & (tnear < arena.t_max[:, None])
-        & (jnp.arange(scene.num_instances)[None, :] != arena.prev[:, None])
-    )
-    tnear = jnp.where(hit, tnear, FLT_MAX)
-    nxt = jnp.argmin(tnear, axis=1).astype(jnp.int32)
-    t_entry = jnp.take_along_axis(tnear, nxt[:, None], axis=1)[:, 0]
-    found = t_entry < FLT_MAX
+    if scene.inst_bvh is not None:
+        # log-time path: stackless skip-link walk over the instance tree
+        # (BVH.h:61-135 analog); exact same leaf predicate as the scan
+        from gravit_tpu.accel.instance_bvh import closest_instance
+
+        found, nxt, _ = closest_instance(
+            scene.inst_bvh, arena.origin, inv_dir, arena.t_max,
+            arena.prev, pending)
+        # recompute the winner's t_entry through the differentiable
+        # instance table (the tree's node bounds are static copies)
+        safe = jnp.clip(nxt, 0, scene.num_instances - 1)
+        l1 = (scene.inst_lo[safe] - arena.origin) * inv_dir
+        u1 = (scene.inst_hi[safe] - arena.origin) * inv_dir
+        t_entry = jnp.where(found,
+                            jnp.max(jnp.minimum(l1, u1), axis=-1), FLT_MAX)
+    else:
+        # (N, I) slab tests against every instance AABB
+        l = (scene.inst_lo[None, :, :] - arena.origin[:, None, :]) * inv_dir[:, None, :]
+        u = (scene.inst_hi[None, :, :] - arena.origin[:, None, :]) * inv_dir[:, None, :]
+        tnear = jnp.max(jnp.minimum(l, u), axis=-1)
+        tfar = jnp.min(jnp.maximum(l, u), axis=-1)
+        hit = (
+            (tfar > tnear)
+            & (tnear > RAY_EPSILON)
+            & (tnear < arena.t_max[:, None])
+            & (jnp.arange(scene.num_instances)[None, :] != arena.prev[:, None])
+        )
+        tnear = jnp.where(hit, tnear, FLT_MAX)
+        nxt = jnp.argmin(tnear, axis=1).astype(jnp.int32)
+        t_entry = jnp.take_along_axis(tnear, nxt[:, None], axis=1)[:, 0]
+        found = t_entry < FLT_MAX
 
     requeue = pending & found
     new_origin = jnp.where(

@@ -126,8 +126,10 @@ def partition_scene(meshes: Sequence[CompiledMesh],
         # triangles
         inst_mesh = jnp.where(jnp.asarray(mask) > 0, sd.inst_mesh, -1)
         # static fields must be identical across devices for tree.map
+        # (incl. the instance tree: per-device builds saw local-mesh
+        # bounds, which are wrong for foreign instances)
         sd = sd.replace(inst_mesh=inst_mesh, inst_lo=true_lo,
-                        inst_hi=true_hi,
+                        inst_hi=true_hi, inst_bvh=ref_scene.inst_bvh,
                         num_meshes=max(x.num_meshes for x, _ in per_dev),
                         mesh_tri_offset=(), mesh_tri_count=(),
                         has_embree_materials=any(
@@ -219,11 +221,19 @@ def _pack_exchange(arena: RayArena, dest: jax.Array, n_dev: int, cap: int):
     c = arena.capacity
     send_mask = dest >= 0
     d_safe = jnp.where(send_mask, dest, 0)
-    # rank within destination bucket via one-hot cumsum
+    # rank within destination bucket via one-hot cumsum.
+    # COST NOTE: this is O(C x n_dev) int work per round (the cumsum over
+    # the full arena x device count). At 8 devices it is noise; at 64+
+    # devices prefer ray_axis sharding (which divides C per device) or a
+    # sort-based ranking — measured on v5e the one-hot form beats a sort
+    # up to ~16 destinations (scripts/micro_tpu4.py: sorts are ~10x a
+    # cumsum at arena width).
     onehot = jax.nn.one_hot(d_safe, n_dev, dtype=jnp.int32) * \
         send_mask[:, None].astype(jnp.int32)
     rank = jnp.cumsum(onehot, axis=0) - onehot  # exclusive prefix per dest
     my_rank = jnp.sum(rank * onehot, axis=1)
+    # per-destination demand this round (for predictive capacity sizing)
+    dest_demand = jnp.max(rank[-1] + onehot[-1])
     slot = jnp.where(send_mask & (my_rank < cap),
                      d_safe * cap + my_rank, n_dev * cap)
     dropped = jnp.sum((send_mask & (my_rank >= cap)).astype(jnp.int32))
@@ -241,7 +251,7 @@ def _pack_exchange(arena: RayArena, dest: jax.Array, n_dev: int, cap: int):
     packed = packed.replace(active=valid)
     # sent rays leave the local arena
     arena = arena.replace(active=arena.active & ~send_mask)
-    return arena, packed, dropped
+    return arena, packed, dropped, dest_demand
 
 
 def _merge_incoming(arena: RayArena, incoming: RayArena):
@@ -314,7 +324,10 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
     return_stats: also return the psum'd count of rays dropped by exchange
     overflow (pack + merge). Nonzero means the image is missing energy —
     callers should grow exchange_cap / arena capacity (DomainRenderer.render
-    does this automatically).
+    does this automatically). Pass the string "peak" to instead get the
+    tuple (drops, peak_dest_demand) where the second value is the largest
+    single-destination send demand observed in any round — the predictive
+    capacity a retry should use.
 
     resident: optional (I, n_dev) bool residency matrix (multi-hot rows =
     replicated domains). A ray bound for domain i is served by ANY device
@@ -357,7 +370,7 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(scene_specs, P(), P(), P(), arena_specs, accel_specs),
-        out_specs=(P(), P(), P(), arena_out, P()),
+        out_specs=(P(), P(), P(), arena_out, P(), P()),
         check_vma=False)
     def run(scene_d, route, n_rep, res, arena, accel_d):
         unstack = lambda a: a[0] if a.ndim and a.shape[0] == 1 else a
@@ -385,7 +398,7 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
         # device's (C, ...) shard of the stacked arena — resume as-is)
 
         def round_fn(state):
-            r, arena, fb, drops, traced = state
+            r, arena, fb, drops, traced, peak = state
             # load metric: rays actually traceable here this round (parked
             # foreign rays awaiting migration are not local work)
             here0 = res[jnp.clip(arena.inst, 0, n_inst - 1), me] > 0
@@ -401,16 +414,18 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
             here = res[jnp.clip(arena.inst, 0, n_inst - 1), me] > 0
             send = arena.active & (arena.inst >= 0) & ~here
             dest = jnp.where(send, serving_device(arena.inst, arena.id), -1)
-            arena, packed, d_pack = _pack_exchange(arena, dest, n_dev, cap)
+            arena, packed, d_pack, demand = _pack_exchange(
+                arena, dest, n_dev, cap)
             incoming = jax.tree.map(
                 lambda a: jax.lax.all_to_all(
                     a, axis, split_axis=0, concat_axis=0, tiled=False),
                 packed)
             arena, d_merge = _merge_incoming(arena, incoming)
-            return r + 1, arena, fb2, drops + d_pack + d_merge, traced
+            return (r + 1, arena, fb2, drops + d_pack + d_merge, traced,
+                    jnp.maximum(peak, demand))
 
         def cond(state):
-            r, arena, fb, drops, traced = state
+            r, arena, fb, drops, traced, peak = state
             live = jnp.sum((arena.active & (arena.inst >= 0))
                            .astype(jnp.int32))
             live = jax.lax.psum(live, axis)
@@ -418,11 +433,13 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
                 live = jax.lax.psum(live, ray_axis)
             return (r < max_rounds) & (live > 0)
 
-        _, arena, fb, drops, traced = jax.lax.while_loop(
+        _, arena, fb, drops, traced, peak = jax.lax.while_loop(
             cond, round_fn,
-            (jnp.int32(0), arena, fb, jnp.int32(0), jnp.int32(0)))
+            (jnp.int32(0), arena, fb, jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)))
         fb = jax.lax.psum(fb, axis)
         drops = jax.lax.psum(drops, axis)
+        peak = jax.lax.pmax(peak, axis)
         load = jax.lax.all_gather(traced, axis)  # per-device histogram
         # per-domain pending histogram (the gathered (domain, #rays) map
         # the hybrid remap consumes, HybridTracer.h:223-265)
@@ -435,15 +452,16 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
             drops = jax.lax.psum(drops, ray_axis)
             load = jax.lax.psum(load, ray_axis)
             hist = jax.lax.psum(hist, ray_axis)
-        return fb, drops, load, arena, hist
+            peak = jax.lax.pmax(peak, ray_axis)
+        return fb, drops, load, arena, hist, peak
 
-    fb, drops, load, arena_out_v, hist = run(
+    fb, drops, load, arena_out_v, hist, peak = run(
         scene_stacked, route, n_rep, res, arena, accel)
     if not return_arena:
         fb = image_lib.clamp_rgb(fb)
     out = [fb]
     if return_stats:
-        out.append(drops)
+        out.append((drops, peak) if return_stats == "peak" else drops)
     if return_load:
         out.append(load)
     if return_arena:
@@ -615,15 +633,19 @@ class DomainRenderer:
         n_dev = self.mesh.shape[self.axis]
         cap = max(1024, arena.capacity // n_dev)
         for _ in range(max_grows + 1):
-            fb, drops, load = trace_domain(
+            fb, (drops, peak), load = trace_domain(
                 self.scene_stacked, self.owners, arena,
                 camera.film_width, camera.film_height,
                 self.mesh, self.axis, max_rounds,
-                exchange_cap=cap, accel=self.accel, return_stats=True,
+                exchange_cap=cap, accel=self.accel, return_stats="peak",
                 resident=self.resident, return_load=True)
             if int(drops) == 0:
                 return (fb, load) if return_load else fb
-            cap = min(cap * 2, arena.capacity)
+            # predictive regrow: jump straight to the observed peak
+            # per-destination demand (one retry) instead of blind doubling
+            # that can re-pay full-frame cost up to max_grows times
+            need = -(-max(int(peak), cap + 1) // 1024) * 1024
+            cap = min(max(need, cap * 2), arena.capacity)
         raise RuntimeError(
             f"ray exchange still dropping {int(drops)} rays at "
             f"exchange_cap={cap}; increase arena capacity")

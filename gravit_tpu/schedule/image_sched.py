@@ -52,6 +52,134 @@ def trace_image_sharded(scene: SceneData, arena: RayArena, width: int,
     return clamp_rgb(fb)
 
 
+class StreamedImageRenderer:
+    """Out-of-core image scheduling: domains streamed on demand.
+
+    The reference image scheduler loads domains lazily with an adapter
+    cache so a replicate-on-demand scene can exceed one rank's memory
+    (ImageTracer.h:184-233: pick the fullest queue -> cache-lookup/build
+    the adapter -> trace -> shuffle). TPU re-design: meshes are bin-packed
+    into GROUPS whose triangle totals fit `budget_tris`; group scenes stay
+    in HOST memory; each pick device_puts the chosen group (device_put is
+    async — the next-best group is prefetched while the current one
+    traces: a double-buffered adapter cache) and runs one bounded trace
+    round. Rays whose instance is not in the resident group park exactly
+    as under the domain scheduler (inst_mesh == -1) and are picked up when
+    their group is scheduled. All groups pad to one common triangle-buffer
+    shape so a single compiled program serves every group.
+
+    Depth-1/point-light frames are bit-identical to the all-resident
+    tracer (per-ray work is round-invariant); RNG-bearing configs
+    (area lights, RR bounces) differ because the counter-based hashes mix
+    in the round index.
+    """
+
+    def __init__(self, meshes, instances, lights, budget_tris: int):
+        import numpy as np
+
+        from gravit_tpu.render.scene_build import Instance, build_scene
+
+        biggest = max(m.num_triangles for m in meshes)
+        if budget_tris < biggest:
+            raise ValueError(
+                f"budget_tris={budget_tris} below largest mesh ({biggest})")
+        # greedy first-fit pack of mesh ids into groups under the budget
+        groups: list[list[int]] = []
+        fill: list[int] = []
+        order = sorted(range(len(meshes)),
+                       key=lambda i: -meshes[i].num_triangles)
+        mesh2group = {}
+        for mi in order:
+            t = meshes[mi].num_triangles
+            for g, f in enumerate(fill):
+                if f + t <= budget_tris:
+                    groups[g].append(mi)
+                    fill[g] += t
+                    break
+            else:
+                groups.append([mi])
+                fill.append(t)
+            mesh2group[mi] = next(g for g, ms in enumerate(groups)
+                                  if mi in ms)
+        self.num_groups = len(groups)
+        self.inst_group = np.array(
+            [mesh2group[i.mesh_id] for i in instances], np.int32)
+
+        # per-group SceneData: local meshes only, foreign inst_mesh = -1,
+        # global instance tables (same construction as
+        # domain_sched.partition_scene, groups-over-time not over-devices)
+        ref = build_scene(meshes, instances, lights)
+        pad_to = max(fill)
+        host = []
+        for g, mids in enumerate(groups):
+            gl2loc = {mi: l for l, mi in enumerate(mids)}
+            inst = [Instance(mesh_id=gl2loc.get(i.mesh_id, 0), m=i.m)
+                    for i in instances]
+            sd = build_scene([meshes[mi] for mi in mids], inst, lights,
+                             pad_tris_to=pad_to)
+            resident = np.array(
+                [1 if i.mesh_id in gl2loc else 0 for i in instances],
+                np.int32)
+            sd = sd.replace(
+                inst_mesh=jnp.where(jnp.asarray(resident) > 0,
+                                    sd.inst_mesh, -1),
+                inst_lo=ref.inst_lo, inst_hi=ref.inst_hi,
+                inst_bvh=ref.inst_bvh,
+                num_meshes=max(len(m) for m in groups),
+                mesh_tri_offset=(), mesh_tri_count=(),
+                has_embree_materials=ref.has_embree_materials)
+            # spill to host: the whole point is that only ONE group's
+            # triangles are device-resident at a time
+            host.append(jax.tree.map(
+                lambda a: np.asarray(a) if hasattr(a, "dtype") else a, sd))
+        self.host_scenes = host
+        self.lights_count = int(ref.num_lights)
+        self._dev_cache: dict[int, SceneData] = {}
+
+    def _fetch(self, g: int) -> SceneData:
+        # 2-slot cache: current + prefetched next (the double buffer)
+        if g not in self._dev_cache:
+            self._dev_cache[g] = jax.tree.map(
+                lambda a: jax.device_put(a) if hasattr(a, "dtype") else a,
+                self.host_scenes[g])
+        return self._dev_cache[g]
+
+    def _evict_except(self, keep: set):
+        for k in list(self._dev_cache):
+            if k not in keep:
+                del self._dev_cache[k]
+
+    def render(self, camera, max_rounds: int = 64):
+        import numpy as np
+
+        from gravit_tpu.render import tracer as tracer_lib
+
+        arena = make_arena(camera.generate_rays(), self.lights_count)
+        w, h = camera.film_width, camera.film_height
+        scene0 = self._fetch(0)
+        arena, fb = tracer_lib._initial_shuffle(scene0, arena, w, h)
+        for r in range(max_rounds):
+            inst = np.asarray(arena.inst)
+            act = np.asarray(arena.active)
+            live = act & (inst >= 0)
+            if not live.any():
+                break
+            counts = np.bincount(self.inst_group[inst[live]],
+                                 minlength=self.num_groups)
+            ranked = np.argsort(-counts)
+            g = int(ranked[0])
+            scene_g = self._fetch(g)
+            # prefetch the runner-up while g traces (async device_put)
+            nxt = int(ranked[1]) if (self.num_groups > 1
+                                     and counts[ranked[1]] > 0) else g
+            self._evict_except({g, nxt})
+            if nxt != g:
+                self._fetch(nxt)
+            arena, fb, _ = tracer_lib._round_step(
+                scene_g, arena, fb, jnp.int32(r), w, h)
+        return fb
+
+
 def render_image_scheduler(scene: SceneData, camera, mesh: Mesh | None = None,
                            axis: str = "rays", max_rounds: int = 64):
     """Convenience: camera -> arena -> (sharded) trace -> framebuffer."""

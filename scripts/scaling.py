@@ -37,7 +37,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--json", default="", help="also write rows to this file")
     args = ap.parse_args()
+    rows = []
 
     import jax
     import jax.numpy as jnp
@@ -95,6 +97,10 @@ def main():
         base.setdefault("image", dt * 1)
         eff = base["image"] / (dt * n)
         print(f"image,{n},{dt*1000:.2f},{rays/dt/1e6:.2f},{eff:.2f}")
+        rows.append({"scheduler": "image", "devices": n,
+                     "ms_frame": round(dt * 1000, 2),
+                     "rays_per_s": round(rays / dt),
+                     "efficiency_vs_1": round(eff, 3)})
 
         if n > 1:
             mesh = Mesh(np.array(jax.devices()[:n]).reshape(n),
@@ -113,6 +119,20 @@ def main():
             base.setdefault("domain", dt * n)
             eff = base["domain"] / (dt * n)
             print(f"domain,{n},{dt*1000:.2f},{rays/dt/1e6:.2f},{eff:.2f}")
+            rows.append({"scheduler": "domain", "devices": n,
+                         "ms_frame": round(dt * 1000, 2),
+                         "rays_per_s": round(rays / dt),
+                         "efficiency_vs_1": round(eff, 3)})
+
+    if args.json:
+        import json
+
+        pathlib.Path(args.json).write_text(json.dumps({
+            "backend": jax.default_backend(), "film": size,
+            "note": ("virtual CPU devices share one machine: rows validate "
+                     "the sharded code paths and collective overhead, not "
+                     "hardware speedup (BASELINE.md protocol)"),
+            "rows": rows}, indent=1))
 
 
 if __name__ == "__main__":
