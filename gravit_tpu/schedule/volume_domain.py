@@ -121,7 +121,8 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
                                          owners.shape[0] - 1)]
             send = arena.active & (arena.inst >= 0) & (inst_owner != me)
             dest = jnp.where(send, inst_owner, -1)
-            arena, packed, d_pack = _pack_exchange(arena, dest, n_dev, cap)
+            arena, packed, d_pack, _ = _pack_exchange(arena, dest, n_dev,
+                                                      cap)
             incoming = jax.tree.map(
                 lambda a: jax.lax.all_to_all(
                     a, axis, split_axis=0, concat_axis=0, tiled=False),

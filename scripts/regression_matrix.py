@@ -1,0 +1,295 @@
+"""One-command regression sweep: {apps} x {intersectors} x {schedulers}.
+
+The analog of Test/regression/cpp/*.sh (cartesian product of apps,
+adapters and schedulers over the repo scenes, diffing images). Runs on the
+CPU backend with 8 virtual devices; Pallas rows use interpret mode. Each
+row is bounded and independent; the sweep prints a pass/fail table and
+writes REGRESSION_r03.json next to the repo root.
+
+  JAX_PLATFORMS=cpu python scripts/regression_matrix.py [--fast]
+
+--fast skips the two full-film 512^2 golden rows (~1 min each on CPU).
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+import traceback
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+GOLDEN_SIMPLE = "/root/reference/Test/CTESTtest/data/simple.ppm"
+GOLDEN_BUNNY = "/root/reference/Test/CTESTtest/data/bunny.ppm"
+
+ROWS = []
+
+
+def row(app, adapter, scheduler, fn):
+    t0 = time.time()
+    try:
+        detail = fn() or ""
+        status = "PASS"
+    except Exception as e:  # noqa: BLE001 - a sweep must not die mid-table
+        status = "FAIL"
+        detail = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
+    ROWS.append({"app": app, "adapter": adapter, "scheduler": scheduler,
+                 "status": status, "s": round(time.time() - t0, 1),
+                 "detail": str(detail)[:120]})
+    print(f"{status:4} {app:10} {adapter:16} {scheduler:16} "
+          f"{ROWS[-1]['s']:6.1f}s {detail}", flush=True)
+
+
+def crop_compare(fb, golden_path, r0, c0, n, W=512, H=512, max_err=1):
+    from gravit_tpu.scene import image as img
+
+    ours = img.to_rgb8(np.asarray(fb), W, H)
+    golden = img.read_ppm(golden_path)
+    sl = slice(H - r0 - n, H - r0)
+    a, b = ours[sl, c0:c0 + n], golden[sl, c0:c0 + n]
+    err = img.max_byte_error(a, b)
+    assert b.astype(int).sum() > 0, "crop hit background only"
+    assert err <= max_err, f"crop max byte err {err}"
+    return f"max_err={err}"
+
+
+def crop_rays(cam, r0, c0, n):
+    import jax.numpy as jnp
+
+    rays = cam.generate_rays()
+    rr = rays.id // cam.film_width
+    cc = rays.id % cam.film_width
+    lanes = np.nonzero(np.asarray(
+        (rr >= r0) & (rr < r0 + n) & (cc >= c0) & (cc < c0 + n)))[0]
+    return jax.tree.map(lambda a: a[jnp.asarray(lanes)], rays)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    args = ap.parse_args()
+
+    import scenes
+    from parity_bunny import bunny_scene
+
+    # ---- simple app ------------------------------------------------------
+    if not args.fast:
+        def simple_golden():
+            from gravit_tpu.render.tracer import make_arena, trace_image
+            from gravit_tpu.scene import image as img
+
+            scene, cam = scenes.simple_scene(512, 512)
+            arena = make_arena(cam.generate_rays(), 1)
+            fb = trace_image(scene, arena, 512, 512, max_rounds=32)
+            ours = img.to_rgb8(np.asarray(fb), 512, 512)
+            golden = img.read_ppm(GOLDEN_SIMPLE)
+            err = img.max_byte_error(ours, golden)
+            assert err == 0, f"max byte err {err}"
+            return "byte-exact"
+        row("simple", "brute", "image", simple_golden)
+
+    def simple_accel_crop():
+        os.environ["GRAVIT_PALLAS_INTERPRET"] = "1"
+        try:
+            from gravit_tpu.accel.scene_accel import build_scene_bvh
+            from gravit_tpu.render.tracer import make_arena, trace_image
+
+            scene, cam = scenes.simple_scene(512, 512)
+            accel = build_scene_bvh([scenes.cone_mesh(), scenes.cube_mesh()])
+            rays = crop_rays(cam, 224, 224, 64)
+            arena = make_arena(rays, 1)
+            fb = trace_image(scene, arena, 512, 512, max_rounds=32,
+                             accel=accel)
+            return crop_compare(fb, GOLDEN_SIMPLE, 224, 224, 64)
+        finally:
+            os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+    row("simple", "pallas-accel", "image", simple_accel_crop)
+
+    def simple_domain():
+        from jax.sharding import Mesh
+
+        from gravit_tpu.core.math3d import mat4_translate_scale
+        from gravit_tpu.render.scene_build import Instance
+        from gravit_tpu.render.tracer import make_arena, trace_image
+        from gravit_tpu.schedule.domain_sched import DomainRenderer
+        from gravit_tpu.scene.light import point_light
+
+        scene, cam = scenes.simple_scene(96, 96)
+        meshes = [scenes.cone_mesh(), scenes.cube_mesh()]
+        instances = []
+        k = 0
+        for i in range(-2, 3):
+            for j in range(-2, 3):
+                instances.append(Instance(
+                    mesh_id=k % 2,
+                    m=mat4_translate_scale((0.0, i * 0.5, j * 0.5),
+                                           (0.4, 0.4, 0.4))))
+                k += 1
+        lights = [point_light((1.0, 0.0, -1.0), (1.0, 1.0, 1.0))]
+        mesh = Mesh(np.array(jax.devices()[:4]), ("domains",))
+        dr = DomainRenderer.build(meshes, instances, lights, mesh)
+        fb_d = dr.render(cam)
+        arena = make_arena(cam.generate_rays(), 1)
+        fb_1 = trace_image(scene, arena, 96, 96, max_rounds=32)
+        # deposits psum in device order -> ulp-level float reassociation
+        err = np.abs(np.asarray(fb_1)[:, :3] - np.asarray(fb_d)[:, :3]).max()
+        assert err < 1e-5, f"domain image diverged by {err}"
+        return f"max |d|={err:.1e}"
+    row("simple", "brute", "domain(4)", simple_domain)
+
+    def simple_hybrid():
+        from jax.sharding import Mesh
+
+        from test_hybrid_inframe import _scene
+
+        from gravit_tpu.schedule.domain_sched import DomainRenderer
+
+        meshes, instances, lights, cam = _scene()
+        mesh = Mesh(np.array(jax.devices()[:4]), ("domains",))
+        dr = DomainRenderer.build(
+            meshes, instances, lights, mesh,
+            owners=np.zeros((len(instances),), np.int32))
+        fb_s = dr.render(cam)
+        fb_h = dr.render_hybrid(cam, chunk=1, tau=1.5)
+        np.testing.assert_array_equal(np.asarray(fb_s)[:, :3],
+                                      np.asarray(fb_h)[:, :3])
+        return "== static"
+    row("simple", "brute", "hybrid-inframe", simple_hybrid)
+
+    def simple_stream():
+        from test_out_of_core import _scene
+
+        from gravit_tpu.render.scene_build import build_scene
+        from gravit_tpu.render.tracer import make_arena, trace_image
+        from gravit_tpu.schedule.image_sched import StreamedImageRenderer
+
+        meshes, instances, lights, cam = _scene()
+        sr = StreamedImageRenderer(meshes, instances, lights, 12)
+        fb_s = sr.render(cam)
+        scene = build_scene(meshes, instances, lights)
+        arena = make_arena(cam.generate_rays(), scene.num_lights)
+        fb = trace_image(scene, arena, 24, 24, max_rounds=16)
+        np.testing.assert_array_equal(np.asarray(fb)[:, :3],
+                                      np.asarray(fb_s)[:, :3])
+        return "== resident"
+    row("simple", "brute", "image-stream", simple_stream)
+
+    # ---- bunny (file-load app) ------------------------------------------
+    def bunny_accel_crop():
+        os.environ["GRAVIT_PALLAS_INTERPRET"] = "1"
+        try:
+            from gravit_tpu.render.tracer import trace_image_fast
+
+            scene, cam, accel = bunny_scene(with_accel=True)
+            rays = crop_rays(cam, 224, 224, 64)
+            fb = trace_image_fast(scene, rays, 512, 512, accel=accel)
+            return crop_compare(fb, GOLDEN_BUNNY, 224, 224, 64)
+        finally:
+            os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+    row("bunny", "pallas-accel", "image-fast", bunny_accel_crop)
+
+    def bunny_fast_vs_loop():
+        from gravit_tpu.render.scene_build import Instance, build_scene
+        from gravit_tpu.render.tracer import (make_arena, trace_image,
+                                              trace_image_fast)
+        from gravit_tpu.scene.camera import PerspectiveCamera
+        from gravit_tpu.scene.light import point_light
+
+        scene = build_scene(
+            [scenes.cube_mesh()],
+            [Instance(mesh_id=0, m=np.eye(4, dtype=np.float32))],
+            [point_light((1.5, 1.5, 0.0), (1.0, 0.8, 0.6))])
+        cam = PerspectiveCamera(
+            eye=(2.0, 0.6, 1.2), focus=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0),
+            fov=float(45.0 * np.pi / 180.0), film_width=32, film_height=32,
+            samples=1, max_depth=1, jitter_window=0.5)
+        rays = cam.generate_rays()
+        fb_l = trace_image(scene, make_arena(rays, 1), 32, 32, max_rounds=8)
+        fb_f = trace_image_fast(scene, rays, 32, 32)
+        np.testing.assert_array_equal(np.asarray(fb_l)[:, :3],
+                                      np.asarray(fb_f)[:, :3])
+        return "fast == loop"
+    row("bunny", "brute", "image-fast", bunny_fast_vs_loop)
+
+    # ---- volume app ------------------------------------------------------
+    def vol_single():
+        from gravit_tpu.render.tracer import make_arena
+        from gravit_tpu.render.volume_scene import build_volume_scene
+        from gravit_tpu.render.volume_tracer import trace_volume
+        from gravit_tpu.scene.camera import PerspectiveCamera
+        from gravit_tpu.scene.volume import wavelet_volume
+
+        n = 32
+        vol = wavelet_volume(n)
+        vs = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
+        c = (n - 1) / 2.0
+        cam = PerspectiveCamera(
+            eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=(c, c, c),
+            up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
+            film_width=48, film_height=48, samples=1, max_depth=1,
+            jitter_window=0.5)
+        arena = make_arena(cam.generate_rays(volume=True), 1)
+        fb = trace_volume(vs, arena, 48, 48, max_rounds=8)
+        a = np.asarray(fb)
+        assert np.isfinite(a).all() and (a[:, :3].sum(-1) > 0).sum() > 100
+        main._vol = (vol, cam, a)  # stash for the domain row
+        return "finite, visible"
+    row("vol", "march", "image", vol_single)
+
+    def vol_domain():
+        from jax.sharding import Mesh
+
+        from test_volume_domain import _bricked_wavelet
+
+        from gravit_tpu.render.tracer import make_arena
+        from gravit_tpu.render.volume_scene import build_volume_scene
+        from gravit_tpu.render.volume_tracer import trace_volume
+        from gravit_tpu.schedule.volume_domain import (
+            partition_volume_scene, trace_volume_domain)
+        from gravit_tpu.scene.camera import PerspectiveCamera
+
+        n = 32
+        bricks = _bricked_wavelet(n)
+        eye = np.eye(4, dtype=np.float32)
+        instances = [(0, eye), (1, eye)]
+        cam = PerspectiveCamera(
+            eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=((n - 1) / 2,) * 3,
+            up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
+            film_width=32, film_height=32)
+        scene1 = build_volume_scene(bricks, instances)
+        arena = make_arena(cam.generate_rays(volume=True), 1)
+        fb1 = np.asarray(trace_volume(scene1, arena, 32, 32, max_rounds=8))
+        mesh = Mesh(np.array(jax.devices()[:2]), ("domains",))
+        stacked, owners = partition_volume_scene(bricks, instances, 2)
+        fb2 = np.asarray(trace_volume_domain(stacked, owners, arena, 32, 32,
+                                             mesh, max_rounds=8))
+        err = np.abs(fb1[:, :3] - fb2[:, :3]).max()
+        assert err < 1e-5, f"domain split changed image by {err}"
+        return f"max |d|={err:.1e}"
+    row("vol", "march", "domain(2)", vol_domain)
+
+    # ---- table + artifact ------------------------------------------------
+    n_pass = sum(r["status"] == "PASS" for r in ROWS)
+    print(f"\n{n_pass}/{len(ROWS)} rows pass")
+    out = ROOT / "REGRESSION_r03.json"
+    out.write_text(json.dumps({"pass": n_pass, "total": len(ROWS),
+                               "rows": ROWS}, indent=1))
+    print(f"wrote {out}")
+    sys.exit(0 if n_pass == len(ROWS) else 1)
+
+
+if __name__ == "__main__":
+    main()
