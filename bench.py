@@ -24,7 +24,12 @@ import time
 
 ROOT = pathlib.Path(__file__).resolve().parent
 BASELINE_RAYS_PER_S = 8.0e4
-TIMEOUT_S = 540  # fused-frame compile alone is ~260 s on the axon tunnel
+# Compiles on the axon tunnel run 300-600+ s, and KILLING an in-flight
+# compile leaves the remote compile queue busy for tens of minutes (the
+# "wedge", round-3 campaign logs) — so the first attempt gets one long
+# patient window rather than several short ones.
+TIMEOUT_S = 1500
+TIMEOUT_FALLBACK_S = 600
 PROBE_SCHEDULE_S = (0, 300, 900)  # probe retries spread over ~15 min
 
 ATTEMPTS = []
@@ -53,9 +58,14 @@ def _run(*flags, timeout=TIMEOUT_S):
 
 
 def _probe_once():
-    probe = ("import jax.numpy as jnp, numpy as np;"
-             "x = jnp.ones((128, 128));"
-             "print('ALIVE', float(np.asarray(x @ x)[0, 0]))")
+    # time-salted input: the axon layer memoizes identical executions, so
+    # an unsalted probe could return a cached ALIVE without touching the
+    # device (docs/SESSION_NOTES.md gotchas)
+    probe = ("import jax.numpy as jnp, numpy as np, time;"
+             "s = (time.time_ns() % 97) + 1.0;"
+             "x = jnp.full((128, 128), s / 128.0);"
+             "print('ALIVE' if abs(float(np.asarray(x @ x)[0, 0]) - s*s/128.0)"
+             " < 1e-3 else 'BAD')")
     try:
         out = subprocess.run([sys.executable, "-c", probe],
                              capture_output=True, timeout=120, text=True)
@@ -97,10 +107,11 @@ def main():
         print(json.dumps(out))
         return
 
-    # smaller programs first: the stepped path both compiles faster and is
-    # least likely to re-wedge the terminal; escalate toward the fast path
-    result = (_run("--fast") or _run("--accel") or
-              _run("--accel", "--stepped") or _run("--brute"))
+    # best path first with one patient window (killing a compile wedges
+    # the tunnel); fallbacks get shorter windows
+    result = (_run("--fast") or
+              _run("--accel", "--stepped", timeout=TIMEOUT_FALLBACK_S) or
+              _run("--brute", timeout=TIMEOUT_FALLBACK_S))
     rays_per_s = result["rays_per_s"] if result else 0.0
     out["value"] = round(rays_per_s)
     out["vs_baseline"] = round(rays_per_s / BASELINE_RAYS_PER_S, 3)

@@ -237,15 +237,25 @@ def _default_interpret() -> bool:
 TRI_VMEM_LIMIT_BYTES = 6 * 1024 * 1024
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "any_hit", "tri_in_hbm"))
 def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
                   interpret: bool | None = None, any_hit: bool = False,
                   tri_in_hbm: bool | None = None):
+    # resolve env-dependent flags BEFORE entering the jit cache: a None
+    # static arg would alias interpret=True and interpret=False traces
+    # under one cache key (the env can change between calls in one
+    # process, e.g. across test modules)
     if interpret is None:
         interpret = _default_interpret()
     if tri_in_hbm is None:
         tri_in_hbm = tri.size * 4 > TRI_VMEM_LIMIT_BYTES
+    return _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri,
+                              interpret, any_hit, tri_in_hbm)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "any_hit", "tri_in_hbm"))
+def _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri,
+                       interpret: bool, any_hit: bool, tri_in_hbm: bool):
     """Closest-hit for N rays against the flat BVH.
 
     o, d:        (N, 3) f32 object-space rays; N % PACKET == 0, pre-sorted so

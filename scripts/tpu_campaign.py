@@ -50,10 +50,13 @@ def run_py(tag, code, timeout):
 
 
 def probe(tag="probe"):
+    # time-salted input defeats the axon memoization cache
     return run_py(tag, (
-        "import jax.numpy as jnp, numpy as np, json;"
-        "x = jnp.ones((128,128));"
-        "print(json.dumps({'alive': float(np.asarray(x@x)[0,0]) == 128.0}))"
+        "import jax.numpy as jnp, numpy as np, json, time;"
+        "s = (time.time_ns() % 97) + 1.0;"
+        "x = jnp.full((128,128), s/128.0);"
+        "print(json.dumps({'alive': "
+        "abs(float(np.asarray(x@x)[0,0]) - s*s/128.0) < 1e-3}))"
     ), 100)
 
 

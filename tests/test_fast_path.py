@@ -50,6 +50,7 @@ def test_fast_equals_loop_brute(lights_key):
 
 
 def test_fast_equals_loop_accel_interpret():
+    _prev = os.environ.get("GRAVIT_PALLAS_INTERPRET")
     os.environ["GRAVIT_PALLAS_INTERPRET"] = "1"
     try:
         from gravit_tpu.accel.scene_accel import build_scene_bvh
@@ -64,7 +65,10 @@ def test_fast_equals_loop_accel_interpret():
         np.testing.assert_array_equal(np.asarray(fb_loop)[:, :3],
                                       np.asarray(fb_fast)[:, :3])
     finally:
-        os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+        if _prev is None:
+            os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+        else:
+            os.environ["GRAVIT_PALLAS_INTERPRET"] = _prev
 
 
 def test_fast_samples4():

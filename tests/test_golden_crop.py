@@ -27,6 +27,7 @@ ROW0, COL0, CROP = 224, 224, 64
 @pytest.mark.skipif(not pathlib.Path(GOLDEN).exists(),
                     reason="reference goldens not present")
 def test_bunny_crop_byte_parity_accel():
+    _prev = os.environ.get("GRAVIT_PALLAS_INTERPRET")
     os.environ["GRAVIT_PALLAS_INTERPRET"] = "1"
     try:
         import jax
@@ -76,4 +77,7 @@ def test_bunny_crop_byte_parity_accel():
         assert max_err <= 1, f"crop max byte err {max_err}, frac {frac}"
         assert frac < 0.001, f"crop byte-diff fraction {frac}"
     finally:
-        os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+        if _prev is None:
+            os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+        else:
+            os.environ["GRAVIT_PALLAS_INTERPRET"] = _prev
