@@ -408,8 +408,17 @@ def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
     # shadow rays that were occluded die silently (EmbreeMeshAdapter.cpp:492)
     arena = arena.replace(active=arena.active & ~shadow_occluded)
 
-    # --- append spawned shadow rays into free lanes -----------------------
-    arena = _append_rays(arena, spawn)
+    # --- resolve fresh spawns' occlusion IN THIS ROUND --------------------
+    # A spawn lives in the same instance as its parent, so its first
+    # any-hit test needs no migration and no arena lane: test the dense
+    # spawn matrix directly (the merged shadow dispatch; same result as
+    # queueing it for next round, one round sooner and occluded spawns
+    # never touch the arena). Survivors append as PENDING with
+    # prev=spawn instance so the shuffle routes them onward exactly as
+    # an escaped shadow ray (TracerBase.h:325-414).
+    spawn = _resolve_spawn_occlusion(scene, arena.capacity, accel, spawn,
+                                     tile)
+    arena = _append_rays(arena, spawn, pending=True)
 
     # --- shuffle pending rays --------------------------------------------
     arena, fb = shuffle(scene, arena, fb, initial=False)
@@ -552,7 +561,48 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
     return arena, fb, spawn
 
 
-def _append_rays(arena: RayArena, spawn: jax.Array) -> RayArena:
+def _resolve_spawn_occlusion(scene: SceneData, capacity: int, accel,
+                             spawn: jax.Array, tile: int) -> jax.Array:
+    """Occlusion-test the packed spawn matrix against each spawn's own
+    instance; invalidate occluded rows. rtcOccluded semantics
+    (EmbreeMeshAdapter.cpp:364-385) executed at spawn time."""
+    m = spawn.shape[0]
+    if m == 0:
+        return spawn
+    valid = spawn[:, 15] > 0.5
+    inst = spawn[:, 14].astype(jnp.int32)
+    mesh_id, minv, _ = _gather_inst(scene, inst)
+    o = jnp.einsum("nij,nj->ni", minv[:, :3, :3], spawn[:, 0:3]) \
+        + minv[:, :3, 3]
+    d = jnp.einsum("nij,nj->ni", minv[:, :3, :3], spawn[:, 3:6])
+    ray_mesh = jnp.where(valid, mesh_id, -1)
+    queued = valid & (ray_mesh >= 0)
+    if accel is not None:
+        from gravit_tpu.ops.pallas_bvh import PACKET
+
+        if m % PACKET:
+            pad = PACKET - m % PACKET
+            z = lambda a, fill=0: jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+            hit = _intersect_bvh(
+                scene, accel, z(o), z(d), z(ray_mesh, -1), z(queued, False),
+                is_shadow=jnp.ones((m + pad,), bool))
+        else:
+            hit = _intersect_bvh(scene, accel, o, d, ray_mesh, queued,
+                                 is_shadow=jnp.ones((m,), bool))
+    else:
+        hit = intersect_closest(
+            o, d, ray_mesh, queued,
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_mesh,
+            tile=tile)
+    occluded = queued & (hit.prim[:m] >= 0)
+    new_valid = valid & ~occluded
+    return jnp.concatenate(
+        [spawn[:, :15], new_valid.astype(jnp.float32)[:, None]], axis=1)
+
+
+def _append_rays(arena: RayArena, spawn: jax.Array,
+                 pending: bool = False) -> RayArena:
     """Prefix-sum allocation of spawned rays into inactive lanes.
 
     `spawn` is the packed (M, 16) matrix from _process_surface_hits
@@ -603,8 +653,13 @@ def _append_rays(arena: RayArena, spawn: jax.Array) -> RayArena:
         id=sel(buf[:, 12].astype(jnp.int32), arena.id),
         depth=sel(buf[:, 13].astype(jnp.int32), arena.depth),
         type=sel(jnp.int32(int(RayType.SHADOW)), arena.type),
-        inst=sel(buf[:, 14].astype(jnp.int32), arena.inst),
-        prev=sel(jnp.int32(-1), arena.prev),
+        # pending=True: the spawn was already occlusion-tested against its
+        # own instance; it enters as an ESCAPED shadow (inst=-1, prev=its
+        # instance) for the same-round shuffle to route onward
+        inst=sel(jnp.int32(-1) if pending
+                 else buf[:, 14].astype(jnp.int32), arena.inst),
+        prev=sel(buf[:, 14].astype(jnp.int32) if pending
+                 else jnp.int32(-1), arena.prev),
         active=arena.active | written,
     )
 

@@ -584,6 +584,29 @@ class DomainRenderer:
         fb_total = image_lib.new_framebuffer(camera.film_width,
                                              camera.film_height)
         loads = np.zeros((n_dev,), np.int64)
+
+        def maybe_reshard(dr, hist):
+            """Re-place domains when projected device load is imbalanced
+            (imbalance over ALL devices: idle devices are the signal)."""
+            route_np, n_rep_np = build_routes(np.asarray(dr.resident))
+            dev_pending = np.zeros(n_dev)
+            for i in np.nonzero(hist)[0]:
+                dev_pending[route_np[i, :n_rep_np[i]]] += (
+                    hist[i] / n_rep_np[i])
+            if dev_pending.max() > 0 and (
+                    dev_pending.max() / dev_pending.mean() > tau):
+                resident = POLICIES[policy](
+                    hist, primary_owner_np(np.asarray(dr.resident)), n_dev)
+                if not np.array_equal(resident, dr.resident):
+                    return dr.repartition(resident)
+            return dr
+
+        # iteration-0 remap: the reference recomputes the map BEFORE the
+        # first trace too (HybridTracer.h:223 runs at every iteration),
+        # so a bad initial placement never pays even one hot round
+        dr = maybe_reshard(dr, np.asarray(dr.pending_histogram(camera),
+                                          np.int64))
+
         first = True
         done_rounds = 0
         while done_rounds < max_rounds:
@@ -606,20 +629,7 @@ class DomainRenderer:
             hist = np.asarray(hist)
             if hist.sum() == 0:
                 break
-            # device load for the REMAINING work under current residency
-            route_np, n_rep_np = build_routes(np.asarray(dr.resident))
-            dev_pending = np.zeros(n_dev)
-            for i in np.nonzero(hist)[0]:
-                dev_pending[route_np[i, :n_rep_np[i]]] += (
-                    hist[i] / n_rep_np[i])
-            # imbalance over ALL devices (an idle device is the imbalance
-            # signal, not a reason to shrink the denominator)
-            if dev_pending.max() > 0 and (
-                    dev_pending.max() / dev_pending.mean() > tau):
-                resident = POLICIES[policy](hist, primary_owner_np(
-                    np.asarray(dr.resident)), n_dev)
-                if not np.array_equal(resident, dr.resident):
-                    dr = dr.repartition(resident)
+            dr = maybe_reshard(dr, hist)
         fb_total = image_lib.clamp_rgb(fb_total)
         return (fb_total, jnp.asarray(loads)) if return_load else fb_total
 

@@ -16,7 +16,7 @@ from gravit_tpu.schedule.domain_sched import DomainRenderer
 
 from scenes import cube_mesh
 
-N_DEV = 4
+N_DEV = 8
 
 
 def _scene():

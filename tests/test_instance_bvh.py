@@ -106,3 +106,45 @@ def test_render_with_tree_bit_equal():
     fb_scan = trace_image(scene_scan, arena, 32, 32, max_rounds=16)
     fb_tree = trace_image(scene_tree, arena, 32, 32, max_rounds=16)
     np.testing.assert_array_equal(np.asarray(fb_scan), np.asarray(fb_tree))
+
+
+def test_many_domain_render_tree_plus_domain_sched():
+    """128 instances: the scene auto-builds the instance tree (>=64) and
+    the domain scheduler runs the tree shuffle under shard_map — the
+    PlyReader-many-bricks scenario end-to-end, equal to single-device."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gravit_tpu.render.scene_build import INSTANCE_BVH_THRESHOLD
+    from gravit_tpu.scene.camera import PerspectiveCamera
+    from gravit_tpu.scene.light import point_light
+    from gravit_tpu.schedule.domain_sched import DomainRenderer
+
+    meshes = [cube_mesh()]
+    instances = []
+    for i in range(8):
+        for j in range(16):
+            instances.append(Instance(
+                mesh_id=0,
+                m=mat4_translate_scale(
+                    (0.0, (i - 3.5) * 0.6, (j - 7.5) * 0.6),
+                    (0.25, 0.25, 0.25))))
+    assert len(instances) >= INSTANCE_BVH_THRESHOLD
+    lights = [point_light((6.0, 2.0, 0.0), (1.0, 1.0, 1.0))]
+    cam = PerspectiveCamera(
+        eye=(10.0, 0.3, 0.2), focus=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0),
+        fov=float(50 * np.pi / 180), film_width=24, film_height=24,
+        samples=1, max_depth=1, jitter_window=0.5)
+
+    scene = build_scene(meshes, instances, lights)
+    assert scene.inst_bvh is not None  # auto-built
+    arena = make_arena(cam.generate_rays(), 1)
+    fb1 = trace_image(scene, arena, 24, 24, max_rounds=16)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("domains",))
+    dr = DomainRenderer.build(meshes, instances, lights, mesh)
+    assert dr.scene_stacked.inst_bvh is not None
+    fb2 = dr.render(cam)
+    err = np.abs(np.asarray(fb1)[:, :3] - np.asarray(fb2)[:, :3]).max()
+    assert err < 1e-5, err
+    assert float(np.asarray(fb1)[:, :3].sum()) > 0
