@@ -162,12 +162,20 @@ class Renderer:
             dr = DomainRenderer.build(meshes, instances, lights, mesh)
             fb = dr.render(camera)
         else:
-            from gravit_tpu.render.tracer import make_arena, trace_image
+            from gravit_tpu.render.tracer import (make_arena, trace_image,
+                                                  trace_image_fast)
 
             accel = self._maybe_accel(meshes)
-            arena = make_arena(camera.generate_rays(), scene.num_lights)
-            fb = trace_image(scene, arena, camera.film_width,
-                             camera.film_height, accel=accel)
+            if scene.num_instances == 1 and camera.max_depth <= 1:
+                # megapass: whole frame in two intersection dispatches
+                # (bit-equal to the loop on this config; tests/test_fast_path)
+                fb = trace_image_fast(scene, camera.generate_rays(),
+                                      camera.film_width, camera.film_height,
+                                      accel=accel)
+            else:
+                arena = make_arena(camera.generate_rays(), scene.num_lights)
+                fb = trace_image(scene, arena, camera.film_width,
+                                 camera.film_height, accel=accel)
         self._fb[name] = fb
 
     def _maybe_accel(self, meshes):

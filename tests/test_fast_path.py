@@ -84,3 +84,37 @@ def test_fast_samples4():
     np.testing.assert_allclose(np.asarray(fb_loop)[:, :3],
                                np.asarray(fb_fast)[:, :3],
                                atol=1e-6, rtol=0)
+
+
+def test_fast_path_gradients_match_fd():
+    """The megapass is a straight-line program (no while_loop), so it is
+    reverse-mode differentiable as-is; check d loss / d kd and
+    d loss / d light color against central finite differences."""
+    import jax
+    import jax.numpy as jnp
+
+    scene, cam = _single_instance(LIGHT_SETS["point"], w=16, h=16)
+    rays = cam.generate_rays()
+    key = jax.random.key(5)
+    target = jax.random.uniform(key, (16 * 16, 4))
+
+    def loss(kd, lcolor):
+        s = scene.replace(tri_kd=kd, lights_color=lcolor)
+        fb = trace_image_fast(s, rays, 16, 16)
+        return jnp.mean((fb - target) ** 2)
+
+    g_kd, g_lc = jax.grad(loss, argnums=(0, 1))(scene.tri_kd,
+                                                scene.lights_color)
+    eps = 3e-3
+    for name, g, p0, setter in [
+        ("kd", g_kd, scene.tri_kd,
+         lambda v: loss(v, scene.lights_color)),
+        ("light_color", g_lc, scene.lights_color,
+         lambda v: loss(scene.tri_kd, v)),
+    ]:
+        d = jax.random.normal(jax.random.key(7), p0.shape)
+        analytic = float(jnp.vdot(g, d))
+        fd = float((setter(p0 + eps * d) - setter(p0 - eps * d)) / (2 * eps))
+        assert np.isfinite(analytic) and np.isfinite(fd), name
+        np.testing.assert_allclose(analytic, fd, rtol=0.15, atol=1e-6,
+                                   err_msg=name)
