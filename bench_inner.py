@@ -110,7 +110,7 @@ def main_volume():
         fov=float(30 * np.pi / 180), film_width=WIDTH, film_height=HEIGHT,
         samples=1, max_depth=1, jitter_window=0.0)
     rays0 = cam.generate_rays(volume=True)
-    arena0 = make_arena(rays0, 1)
+    arena0 = make_arena(rays0, 0)
 
     def frame(i):
         arena = arena0.replace(origin=arena0.origin + 1.7e-4 * (i + 1))

@@ -33,7 +33,7 @@ BIG = 1e30
 
 
 def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
-                     bounds, meta, tri,
+                     tfar, bounds, meta, tri,
                      t_out, prim_out, u_out, v_out,
                      stack, tri_scratch=None, tri_sem=None, *,
                      any_hit: bool = False, tri_in_hbm: bool = False):
@@ -43,7 +43,11 @@ def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
     cannot spin the chip forever (a hung Pallas kernel wedges the whole
     TPU runtime). With `any_hit`, traversal stops as soon as every live
     lane has some hit (occlusion testing: rtcOccluded semantics) — the
-    reported hit is then not necessarily the closest."""
+    reported hit is then not necessarily the closest. `tfar` seeds the
+    best-hit distance (rtcIntersect/rtcOccluded ray.tfar): nodes and
+    triangles beyond it are culled, which is what lets shadow any-hit
+    packets whose rays see the light terminate without walking the whole
+    tree."""
     i = pl.program_id(0)
     root = block_root[i]
     iter_cap = max_iters[0]
@@ -59,9 +63,16 @@ def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
     inv = tuple(safe_inv(c) for c in d)
 
     # best-hit state as per-row tuples: Mosaic has no scatter, so row
-    # updates must be carry rebinds, not .at[].set
-    t_best = tuple(jnp.full((1, 128), FLT_MAX, jnp.float32)
-                   for _ in range(SUB))
+    # updates must be carry rebinds, not .at[].set. Seeded from tfar;
+    # misses report t == their tfar seed, so callers key misses on
+    # prim < 0 (not t >= FLT_MAX).
+    tf_rows = tfar[...]
+    t_best = tuple(tf_rows[rb:rb + 1, :] for rb in range(SUB))
+
+    # near-child ordering needs only the SIGN of the block's mean direction
+    # per axis; hoist the three cross-lane reductions out of the node loop
+    # (they used to run once per inner node)
+    dpos = tuple(jnp.sum(c) >= 0.0 for c in d)
     prim = tuple(jnp.full((1, 128), -1, jnp.int32) for _ in range(SUB))
     uu = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(SUB))
     vv = tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(SUB))
@@ -145,19 +156,24 @@ def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
                           & (u_ + v_ <= 1.0) & (t_ > 1e-6) & kvalid
                           & live0[rb:rb + 1, :])
                     t_masked = jnp.where(ok, t_, FLT_MAX)
-                    # unrolled best-hit select chain over the 8 tri rows
-                    # (gathers along sublanes don't lower on Mosaic)
-                    tb = t_best[rb]
-                    pb = prim[rb]
-                    ub = uu[rb]
-                    vb = vv[rb]
-                    for k in range(LEAF_PAD):
-                        tk = t_masked[k:k + 1, :]
-                        closer = tk < tb
-                        tb = jnp.where(closer, tk, tb)
-                        pb = jnp.where(closer, base + k, pb)
-                        ub = jnp.where(closer, u_[k:k + 1, :], ub)
-                        vb = jnp.where(closer, v_[k:k + 1, :], vb)
+                    # best-of-8 via cross-sublane reductions (full-width
+                    # (8,128) VPU ops) instead of an 8-step select chain of
+                    # (1,128) slices; ties resolve to the smallest k, same
+                    # as the chain's strict-< "first wins"
+                    tmin = jnp.min(t_masked, axis=0, keepdims=True)
+                    kmin = jnp.min(
+                        jnp.where(t_masked == tmin, kidx, LEAF_PAD),
+                        axis=0, keepdims=True)
+                    onehot = kidx == kmin
+                    u_sel = jnp.sum(jnp.where(onehot, u_, 0.0),
+                                    axis=0, keepdims=True)
+                    v_sel = jnp.sum(jnp.where(onehot, v_, 0.0),
+                                    axis=0, keepdims=True)
+                    closer = tmin < t_best[rb]
+                    tb = jnp.where(closer, tmin, t_best[rb])
+                    pb = jnp.where(closer, base + kmin, prim[rb])
+                    ub = jnp.where(closer, u_sel, uu[rb])
+                    vb = jnp.where(closer, v_sel, vv[rb])
                     t_best = t_best[:rb] + (tb,) + t_best[rb + 1:]
                     prim = prim[:rb] + (pb,) + prim[rb + 1:]
                     uu = uu[:rb] + (ub,) + uu[rb + 1:]
@@ -175,11 +191,8 @@ def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
             # popped first, improving early t_best culling ~30% on
             # coherent packets
             axis = mrow[3]
-            dsum = jax.lax.switch(
-                axis,
-                [lambda: jnp.sum(d[0]), lambda: jnp.sum(d[1]),
-                 lambda: jnp.sum(d[2])])
-            left_first = dsum >= 0.0
+            left_first = jnp.where(
+                axis == 0, dpos[0], jnp.where(axis == 1, dpos[1], dpos[2]))
             first = jnp.where(left_first, mrow[0], mrow[1])
             second = jnp.where(left_first, mrow[1], mrow[0])
             stack[sp] = second
@@ -239,7 +252,7 @@ TRI_VMEM_LIMIT_BYTES = 6 * 1024 * 1024
 
 def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
                   interpret: bool | None = None, any_hit: bool = False,
-                  tri_in_hbm: bool | None = None):
+                  tri_in_hbm: bool | None = None, t_far=None):
     # resolve env-dependent flags BEFORE entering the jit cache: a None
     # static arg would alias interpret=True and interpret=False traces
     # under one cache key (the env can change between calls in one
@@ -248,13 +261,15 @@ def bvh_intersect(o, d, valid, block_root, bounds, meta, tri,
         interpret = _default_interpret()
     if tri_in_hbm is None:
         tri_in_hbm = tri.size * 4 > TRI_VMEM_LIMIT_BYTES
+    if t_far is None:
+        t_far = jnp.full(o.shape[:1], FLT_MAX, jnp.float32)
     return _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri,
-                              interpret, any_hit, tri_in_hbm)
+                              t_far, interpret, any_hit, tri_in_hbm)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "any_hit", "tri_in_hbm"))
-def _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri,
+def _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri, t_far,
                        interpret: bool, any_hit: bool, tri_in_hbm: bool):
     """Closest-hit for N rays against the flat BVH.
 
@@ -265,6 +280,8 @@ def _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri,
     bounds/meta: (Nn, 8) f32 / (Nn, 4) i32 flat BVH
     tri:         (Tp, 12) f32 leaf-ordered triangles (v0, e1, e2, pad),
                  padded by >=LEAF_PAD rows
+    t_far:       (N,) f32 per-ray far bound (rtcIntersect ray.tfar);
+                 hits at t >= t_far are culled
     Returns (t, prim, u, v) with prim in LEAF order (-1 miss).
     """
     n = o.shape[0]
@@ -273,7 +290,7 @@ def _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri,
     r2 = lambda a: a.reshape(shape2d)
     args = [r2(o[:, 0]), r2(o[:, 1]), r2(o[:, 2]),
             r2(d[:, 0]), r2(d[:, 1]), r2(d[:, 2]),
-            r2(valid.astype(jnp.int32))]
+            r2(valid.astype(jnp.int32)), r2(t_far.astype(jnp.float32))]
 
     ray_spec = pl.BlockSpec((SUB, 128), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -289,7 +306,7 @@ def _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
-        in_specs=[ray_spec] * 7 + [full(bounds), full(meta), tri_spec],
+        in_specs=[ray_spec] * 8 + [full(bounds), full(meta), tri_spec],
         out_specs=[ray_spec] * 4,
         scratch_shapes=scratch,
     )
@@ -308,7 +325,9 @@ def _bvh_intersect_jit(o, d, valid, block_root, bounds, meta, tri,
     )(jnp.asarray([4 * bounds.shape[0] + 64], jnp.int32), block_root,
       *args, bounds, meta, tri)
 
-    miss = t.reshape(n) >= FLT_MAX
+    # misses keep prim == -1 and report t == their t_far seed; normalize t
+    # to FLT_MAX so callers can keep either convention
+    miss = prim.reshape(n) < 0
     return (jnp.where(miss, FLT_MAX, t.reshape(n)),
             jnp.where(miss, -1, prim.reshape(n)),
             u.reshape(n), v.reshape(n))

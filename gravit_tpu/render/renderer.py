@@ -117,7 +117,7 @@ class Renderer:
             from gravit_tpu.render.volume_tracer import trace_volume
 
             scene = self._volume_scene(db)
-            arena = make_arena(camera.generate_rays(volume=True), 1)
+            arena = make_arena(camera.generate_rays(volume=True), 0)
             n_dev = len(jax.devices())
             stype = int(sched["type"])
             same_shape = len({s.shape for s in scene.vol_samples}) == 1
@@ -171,7 +171,8 @@ class Renderer:
                 # (bit-equal to the loop on this config; tests/test_fast_path)
                 fb = trace_image_fast(scene, camera.generate_rays(),
                                       camera.film_width, camera.film_height,
-                                      accel=accel)
+                                      accel=accel,
+                                      dense_deposit=camera.samples == 1)
             else:
                 arena = make_arena(camera.generate_rays(), scene.num_lights)
                 fb = trace_image(scene, arena, camera.film_width,

@@ -749,9 +749,11 @@ def trace_image_stepped(scene: SceneData, arena: RayArena, width: int,
     return fb
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "dense_deposit"))
 def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
-                     height: int, accel=None) -> jax.Array:
+                     height: int, accel=None,
+                     dense_deposit: bool = True) -> jax.Array:
     """Single-instance megapass: the whole frame in TWO intersection
     dispatches (one closest-hit over the camera wavefront, one any-hit over
     the spawned shadow wavefront) with zero arena churn.
@@ -767,7 +769,10 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
 
     `rays` is the raw camera wavefront (make_arena not needed). Callers
     gate on `scene.num_instances == 1 and camera.max_depth == 1` and fall
-    back to trace_image otherwise.
+    back to trace_image otherwise. `dense_deposit=True` (default)
+    additionally requires a samples==1 film (lane i == pixel i); pass
+    False for multi-sample wavefronts, which deposit through the general
+    pixel-id scatter.
     """
     from gravit_tpu.ops.pallas_bvh import PACKET
 
@@ -825,21 +830,42 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
             tile=_choose_tile(scene.num_triangles))
     occluded = hit2.prim[:m] >= 0
 
-    # retire: unoccluded shadow rays deposit color*w (TracerBase.h:396-399)
+    # retire: unoccluded shadow rays deposit color*w (TracerBase.h:396-399).
     color = spawn[:, 6:9]
     deposit = (s_valid & ~occluded
                & (jnp.sum(color**2, axis=-1) > 0.0))
-    fb = image_lib.local_add(
-        fb, spawn[:, 12].astype(jnp.int32), color * spawn[:, 11:12],
-        jnp.ones((m,), jnp.float32), deposit)
+    if dense_deposit:
+        # samples==1 camera wavefront: lane i == pixel i and spawn row
+        # li*n + i == lane i, so the deposit is a DENSE per-light add — no
+        # pixel-id scatter, which costs ~15 ms/frame at 512^2 on v5e
+        # (scripts/micro_stages.py). Callers with multi-sample films pass
+        # dense_deposit=False for the general scatter.
+        rgba = jnp.concatenate(
+            [color * spawn[:, 11:12], jnp.ones((m, 1), jnp.float32)],
+            axis=1)
+        rgba = jnp.where(deposit[:, None], rgba, 0.0)
+        n_lanes = arena.capacity
+        per_pixel = rgba.reshape(m // n_lanes, n_lanes, 4).sum(axis=0)
+        fb = fb + per_pixel[:fb.shape[0]]
+    else:
+        fb = image_lib.local_add(
+            fb, spawn[:, 12].astype(jnp.int32), color * spawn[:, 11:12],
+            jnp.ones((m,), jnp.float32), deposit)
     return image_lib.clamp_rgb(fb)
 
 
 def make_arena(camera_rays: RayArena, num_lights: int,
                slack: float = 1.25) -> RayArena:
-    """Embed camera rays into an arena with room for shadow spawns."""
+    """Embed camera rays into an arena with room for shadow spawns.
+
+    num_lights=0 (e.g. volume wavefronts, which never spawn) gets a tight
+    arena: every per-round op scales with arena capacity, so slack lanes
+    are pure marching cost — a 512^2 volume frame with the old
+    always->=2x sizing spent 2.5x the gather traffic of the rays it owned.
+    """
     n = camera_rays.capacity
-    cap = int(n * (1 + max(1, num_lights)) * slack)
+    spawn_mult = (1 + num_lights) if num_lights > 0 else 1
+    cap = int(n * spawn_mult * (slack if num_lights > 0 else 1.0))
     cap = -(-cap // 1024) * 1024
     arena = RayArena.zeros(cap)
     idx = jnp.arange(n)

@@ -89,7 +89,7 @@ def bench_wavelet_volume(size, n=64):
     cam = PerspectiveCamera(
         eye=(4.0 * n,) * 3, focus=(c, c, c), up=(0.0, 0.0, 1.0),
         fov=float(30 * np.pi / 180), film_width=size, film_height=size)
-    arena0 = make_arena(cam.generate_rays(volume=True), 1)
+    arena0 = make_arena(cam.generate_rays(volume=True), 0)
 
     def frame(i):
         arena = arena0.replace(origin=arena0.origin + 1.3e-6 * (i + 1))

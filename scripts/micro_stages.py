@@ -105,7 +105,33 @@ def main():
         return arena.t_max.sum() + fb.sum()
     out["shuffle_ms"] = round(timed(sh, jnp.float32(1e-6)), 1)
 
-    # full megapass
+    # ladder into the megapass: phase 1 only (shuffle + closest + shade +
+    # spawn build), then everything except the final any-hit, then full
+    @jax.jit
+    def phase1(s):
+        rays = rays0.replace(origin=rays0.origin + s)
+        arena, fb = tracer.shuffle(scene, rays, fb0)
+        o_obj, d_obj, ray_mesh = tracer.to_object_space(scene, arena)
+        queued = arena.active & (arena.inst >= 0) & (ray_mesh >= 0)
+        hit = tracer._intersect_bvh(scene, accel, o_obj, d_obj, ray_mesh,
+                                    queued)
+        return hit.t.sum() + hit.prim.sum()
+    out["p1_shuffle_closest_ms"] = round(timed(phase1, jnp.float32(1e-6)), 1)
+
+    @jax.jit
+    def phase2(s):
+        rays = rays0.replace(origin=rays0.origin + s)
+        arena, fb = tracer.shuffle(scene, rays, fb0)
+        o_obj, d_obj, ray_mesh = tracer.to_object_space(scene, arena)
+        queued = arena.active & (arena.inst >= 0) & (ray_mesh >= 0)
+        hit = tracer._intersect_bvh(scene, accel, o_obj, d_obj, ray_mesh,
+                                    queued)
+        surf = queued & (hit.prim >= 0)
+        arena, fb, spawn = tracer._process_surface_hits(
+            scene, arena, fb, hit, surf, jnp.int32(0))
+        return spawn.sum() + fb.sum()
+    out["p2_plus_shade_spawn_ms"] = round(timed(phase2, jnp.float32(1e-6)), 1)
+
     @jax.jit
     def full(s):
         fb = tracer.trace_image_fast(

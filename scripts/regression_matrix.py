@@ -241,7 +241,7 @@ def main():
             up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
             film_width=48, film_height=48, samples=1, max_depth=1,
             jitter_window=0.5)
-        arena = make_arena(cam.generate_rays(volume=True), 1)
+        arena = make_arena(cam.generate_rays(volume=True), 0)
         fb = trace_volume(vs, arena, 48, 48, max_rounds=8)
         a = np.asarray(fb)
         assert np.isfinite(a).all() and (a[:, :3].sum(-1) > 0).sum() > 100
@@ -270,7 +270,7 @@ def main():
             up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
             film_width=32, film_height=32)
         scene1 = build_volume_scene(bricks, instances)
-        arena = make_arena(cam.generate_rays(volume=True), 1)
+        arena = make_arena(cam.generate_rays(volume=True), 0)
         fb1 = np.asarray(trace_volume(scene1, arena, 32, 32, max_rounds=8))
         mesh = Mesh(np.array(jax.devices()[:2]), ("domains",))
         stacked, owners = partition_volume_scene(bricks, instances, 2)

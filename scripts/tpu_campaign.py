@@ -126,7 +126,7 @@ vcam = PerspectiveCamera(
     fov=float(30 * np.pi / 180), film_width=512, film_height=512,
     samples=1, max_depth=1, jitter_window=0.0)
 rays0 = vcam.generate_rays(volume=True)
-arena0 = make_arena(rays0, 1)
+arena0 = make_arena(rays0, 0)
 def frame(i):
     arena = arena0.replace(origin=arena0.origin + 1.7e-4 * (i + 1))
     return trace_volume(vscene, arena, 512, 512, max_rounds=16)

@@ -61,7 +61,11 @@ def test_bunny_crop_byte_parity_accel():
         assert lanes.size == CROP * CROP
         rays = jax.tree.map(lambda a: a[jnp.asarray(lanes)], rays)
 
-        fb = trace_image_fast(scene, rays, W, H, accel=accel)
+        # crop lanes carry full-film pixel ids (lane != pixel), so the
+        # dense-deposit fast path must be off — this is the general
+        # subwindow form
+        fb = trace_image_fast(scene, rays, W, H, accel=accel,
+                              dense_deposit=False)
         ours = img.to_rgb8(np.asarray(fb), W, H)
         golden = img.read_ppm(GOLDEN)
         # to_rgb8 flips bottom-to-top: film row r lands at image row H-1-r

@@ -120,7 +120,7 @@ def test_volume_grad_wrt_samples():
     cam = PerspectiveCamera(eye=(48.0, 48.0, 48.0), focus=(5.5, 5.5, 5.5),
                             up=(0.0, 0.0, 1.0), fov=np.pi / 6,
                             film_width=8, film_height=8)
-    arena = make_arena(cam.generate_rays(volume=True), 1)
+    arena = make_arena(cam.generate_rays(volume=True), 0)
 
     def f(samples):
         s2 = scene.replace(vol_samples=(samples,))

@@ -101,7 +101,7 @@ def test_volume_render_single_brick():
     vol = wavelet_volume(n)
     scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
     cam = _volume_camera(24, 24, n)
-    arena = make_arena(cam.generate_rays(volume=True), 1)
+    arena = make_arena(cam.generate_rays(volume=True), 0)
     fb = trace_volume(scene, arena, 24, 24, max_rounds=8)
     a = np.asarray(fb)
     assert np.isfinite(a).all()
@@ -128,7 +128,7 @@ def test_volume_bricked_matches_single():
     eye = np.eye(4, dtype=np.float32)
     scene1 = build_volume_scene([full], [(0, eye)])
     scene2 = build_volume_scene([left, right], [(0, eye), (1, eye)])
-    arena = make_arena(cam.generate_rays(volume=True), 1)
+    arena = make_arena(cam.generate_rays(volume=True), 0)
     fb1 = np.asarray(trace_volume(scene1, arena, 24, 24, max_rounds=8))
     fb2 = np.asarray(trace_volume(scene2, arena, 24, 24, max_rounds=8))
     # integration restarts at the brick boundary, so allow small differences
@@ -196,7 +196,7 @@ def test_isosurface_and_slice():
                  spacing=np.ones(3, np.float32), tf=tf, isovalues=(6.0,))
     scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
     cam = _volume_camera(24, 24, n)
-    arena = make_arena(cam.generate_rays(volume=True), 1)
+    arena = make_arena(cam.generate_rays(volume=True), 0)
     fb = np.asarray(trace_volume(scene, arena, 24, 24, max_rounds=6))
     # the sphere must be visible (opacity-only tf contributes nothing)
     assert (fb[:, 3] > 0.5).sum() > 20, "isosurface not rendered"

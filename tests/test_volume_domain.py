@@ -46,7 +46,7 @@ def test_volume_domain_matches_single(n_dev):
         fov=float(30 * np.pi / 180), film_width=24, film_height=24)
 
     scene1 = build_volume_scene(bricks, instances)
-    arena = make_arena(cam.generate_rays(volume=True), 1)
+    arena = make_arena(cam.generate_rays(volume=True), 0)
     fb1 = np.asarray(trace_volume(scene1, arena, 24, 24, max_rounds=8))
 
     devs = np.array(jax.devices()[:n_dev]).reshape(n_dev)
