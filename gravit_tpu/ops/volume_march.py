@@ -120,13 +120,14 @@ ISO_KD = 0.6
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "isovalues",
-                                             "slices", "chunk"))
+                                             "slices", "chunk",
+                                             "early_exit"))
 def march_brick(o, d, active, color_in, w_in,
                 samples, origin, spacing, lo, hi,
                 color_lut, opacity_lut, vrange,
                 step: float | jax.Array, max_steps: int,
                 subgrids=(), isovalues: tuple = (), slices: tuple = (),
-                chunk: int = 8):
+                chunk: int = 8, early_exit: bool = True):
     """March active rays through one brick; returns (color, w, exited_flags).
 
     o, d:   (N, 3) rays in the brick's coordinate frame (d need not be unit;
@@ -230,10 +231,31 @@ def march_brick(o, d, active, color_in, w_in,
         return color, w, s_prev, have_prev
 
     n_chunks = (max_steps + chunk - 1) // chunk
-    color, w, _, _ = jax.lax.fori_loop(
-        0, n_chunks, body,
-        (color_in, w_in, jnp.zeros((n,), jnp.float32),
-         jnp.zeros((n,), bool)))
+    carry0 = (color_in, w_in, jnp.zeros((n,), jnp.float32),
+              jnp.zeros((n,), bool))
+
+    if early_exit:
+        # stop as soon as every active ray has left the brick or saturated
+        # (w >= termination). Skipped chunks contribute exactly nothing
+        # (every deposit is masked by `inside`), so this is bit-identical
+        # to marching all n_chunks — max_steps is the worst-case diagonal,
+        # typical views use ~60% of it. while_loop is not reverse-mode
+        # differentiable: gradient paths pass early_exit=False (the
+        # bounded fori_loop), e.g. trace_volume(unroll=True).
+        def wcond(state):
+            ko, (color, w, s_prev, have_prev) = state
+            t_next = t_in + step * (ko * chunk + 0.5)
+            alive = active & (t_next < t_out) & (w < OPACITY_TERMINATION)
+            return (ko < n_chunks) & jnp.any(alive)
+
+        def wbody(state):
+            ko, carry = state
+            return ko + 1, body(ko, carry)
+
+        _, (color, w, _, _) = jax.lax.while_loop(
+            wcond, wbody, (jnp.int32(0), carry0))
+    else:
+        color, w, _, _ = jax.lax.fori_loop(0, n_chunks, body, carry0)
     opaque = w >= OPACITY_TERMINATION
     flags = jnp.where(opaque, RAY_OPAQUE, RAY_BOUNDARY)
     return color, w, jnp.where(active, flags, 0)

@@ -70,7 +70,8 @@ def filter_initial(scene: VolumeSceneData, arena: RayArena) -> RayArena:
     )
 
 
-def march_round(scene: VolumeSceneData, arena: RayArena):
+def march_round(scene: VolumeSceneData, arena: RayArena,
+                differentiable: bool = False):
     """Phase 1: march all queued rays through their bricks (per-volume
     passes, statically unrolled; rays of other volumes are masked).
 
@@ -100,7 +101,8 @@ def march_round(scene: VolumeSceneData, arena: RayArena):
             isovalues=(scene.vol_isovalues[v]
                        if v < len(scene.vol_isovalues) else ()),
             slices=(scene.vol_slices[v]
-                    if v < len(scene.vol_slices) else ()))
+                    if v < len(scene.vol_slices) else ()),
+            early_exit=not differentiable)
         color = jnp.where(mask[:, None], c2, color)
         w = jnp.where(mask, w2, w)
         depth = jnp.where(mask, flags, depth)
@@ -156,7 +158,7 @@ def trace_volume(scene: VolumeSceneData, arena: RayArena, width: int,
     arena = filter_initial(scene, arena)
 
     def round_fn(arena, fb):
-        arena = march_round(scene, arena)
+        arena = march_round(scene, arena, differentiable=unroll)
         return shuffle_volume(scene, arena, fb)
 
     if unroll:

@@ -41,7 +41,24 @@ def main():
     args = ap.parse_args()
     rows = []
 
+    # force the virtual-CPU mesh platform PROGRAMMATICALLY: this repo's
+    # sitecustomize imports jax with JAX_PLATFORMS=axon at interpreter
+    # boot, and relying on inherited env once silently put this harness on
+    # the one-chip TPU backend (avail=1 -> every multi-device row skipped)
+    import os
+    flags = os.environ.get("XLA_FLAGS", "")
+    want = max(args.devices)
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={want}"
+        ).strip()
+
     import jax
+    jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu" or len(jax.devices()) < want:
+        raise RuntimeError(
+            f"needed {want} virtual CPU devices, got "
+            f"{len(jax.devices())} on {jax.default_backend()!r}")
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
