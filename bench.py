@@ -30,7 +30,9 @@ BASELINE_RAYS_PER_S = 8.0e4
 # patient window rather than several short ones.
 TIMEOUT_S = 1500
 TIMEOUT_FALLBACK_S = 600
-PROBE_SCHEDULE_S = (0, 300, 900)  # probe retries spread over ~15 min
+# probe retries spread over ~25 min: the tunnel shows transient busy
+# windows of 15-20 min even with no client activity (round-3 logs)
+PROBE_SCHEDULE_S = (0, 300, 900, 1500)
 
 ATTEMPTS = []
 
@@ -100,18 +102,21 @@ def main():
         "unit": "rays/s",
         "vs_baseline": 0.0,
     }
-    if not _device_alive():
-        out["note"] = ("device wedged: matmul probes at +0/+5/+15 min all "
-                       "hung (docs/SESSION_NOTES.md)")
-        out["attempts"] = ATTEMPTS
-        print(json.dumps(out))
-        return
-
-    # best path first with one patient window (killing a compile wedges
-    # the tunnel); fallbacks get shorter windows
-    result = (_run("--fast") or
-              _run("--accel", "--stepped", timeout=TIMEOUT_FALLBACK_S) or
-              _run("--brute", timeout=TIMEOUT_FALLBACK_S))
+    alive = _device_alive()
+    if not alive:
+        # probes hanging is evidence the slot is busy, not proof the bench
+        # would hang: the busy window may clear mid-attempt. One blind
+        # patient attempt on the best path before conceding zero.
+        out["note"] = ("matmul probes at +0/+5/+15/+25 min all hung; "
+                       "made one blind --fast attempt anyway "
+                       "(docs/SESSION_NOTES.md)")
+        result = _run("--fast")
+    else:
+        # best path first with one patient window (killing a compile
+        # wedges the tunnel); fallbacks get shorter windows
+        result = (_run("--fast") or
+                  _run("--accel", "--stepped", timeout=TIMEOUT_FALLBACK_S) or
+                  _run("--brute", timeout=TIMEOUT_FALLBACK_S))
     rays_per_s = result["rays_per_s"] if result else 0.0
     out["value"] = round(rays_per_s)
     out["vs_baseline"] = round(rays_per_s / BASELINE_RAYS_PER_S, 3)
@@ -120,7 +125,7 @@ def main():
         out["ms_per_frame"] = round(result["ms_per_frame"], 1)
 
     # volume metric (BASELINE.md protocol names both scenes)
-    vol = _run("--volume")
+    vol = _run("--volume") if (alive or result) else None
     if vol:
         out["volume_rays_per_s"] = round(vol["rays_per_s"])
         out["volume_ms_per_frame"] = round(vol["ms_per_frame"], 1)

@@ -172,7 +172,7 @@ class Renderer:
                 fb = trace_image_fast(scene, camera.generate_rays(),
                                       camera.film_width, camera.film_height,
                                       accel=accel,
-                                      dense_deposit=camera.samples == 1)
+                                      samples=camera.samples)
             else:
                 arena = make_arena(camera.generate_rays(), scene.num_lights)
                 fb = trace_image(scene, arena, camera.film_width,

@@ -750,10 +750,12 @@ def trace_image_stepped(scene: SceneData, arena: RayArena, width: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "dense_deposit"))
+                   static_argnames=("width", "height", "dense_deposit",
+                                    "samples"))
 def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
                      height: int, accel=None,
-                     dense_deposit: bool = True) -> jax.Array:
+                     dense_deposit: bool = True,
+                     samples: int = 1) -> jax.Array:
     """Single-instance megapass: the whole frame in TWO intersection
     dispatches (one closest-hit over the camera wavefront, one any-hit over
     the spawned shadow wavefront) with zero arena churn.
@@ -778,6 +780,32 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
 
     fb = image_lib.new_framebuffer(width, height)
     n0 = rays.capacity
+
+    # tile ordering: a PACKET block of row-major lanes is two full film
+    # rows — a long thin frustum whose BVH-node union is large. Remapping
+    # lanes into sqrt(PACKET)-square film tiles makes each block a tight
+    # frustum (fewer node visits for BOTH kernel passes; shadow spawns
+    # inherit the parent lane's tile). Pure static transposes, inverted at
+    # deposit time. Only meaningful for whole-film samples==1 wavefronts
+    # (the dense-deposit contract).
+    # the dense-deposit contract is checkable statically: the wavefront
+    # must cover the whole film (n0 == W*H*S^2 lanes in camera order).
+    # Subwindow / cropped wavefronts fall back to the pixel-id scatter
+    # automatically.
+    dense_deposit = (dense_deposit
+                     and n0 == width * height * samples * samples)
+    T = int(PACKET ** 0.5)
+    tiled = (dense_deposit and samples == 1 and n0 == width * height
+             and width % T == 0 and height % T == 0)
+    if tiled:
+        def to_tiles(a):
+            rest = a.shape[1:]
+            return (a.reshape((height // T, T, width // T, T) + rest)
+                    .transpose((0, 2, 1, 3) + tuple(
+                        4 + i for i in range(len(rest))))
+                    .reshape((n0,) + rest))
+        rays = jax.tree.map(to_tiles, rays)
+
     if n0 % PACKET:
         pad = PACKET - n0 % PACKET
         rays = jax.tree.map(
@@ -835,18 +863,33 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
     deposit = (s_valid & ~occluded
                & (jnp.sum(color**2, axis=-1) > 0.0))
     if dense_deposit:
-        # samples==1 camera wavefront: lane i == pixel i and spawn row
-        # li*n + i == lane i, so the deposit is a DENSE per-light add — no
-        # pixel-id scatter, which costs ~15 ms/frame at 512^2 on v5e
-        # (scripts/micro_stages.py). Callers with multi-sample films pass
-        # dense_deposit=False for the general scatter.
+        # whole-film camera wavefront: the camera emits lanes in
+        # ((j*W+i)*S+k)*S+s order, so pixel == lane // S^2 and spawn row
+        # li*n + lane maps back by reshape — the deposit is a DENSE
+        # per-(light, sample) add with no pixel-id scatter (a 262K-row
+        # scatter costs ~15 ms/frame at 512^2 on v5e,
+        # scripts/micro_stages.py). Pass `samples` for S>1 films;
+        # dense_deposit=False keeps the general scatter (subwindow crops,
+        # permuted wavefronts).
         rgba = jnp.concatenate(
             [color * spawn[:, 11:12], jnp.ones((m, 1), jnp.float32)],
             axis=1)
         rgba = jnp.where(deposit[:, None], rgba, 0.0)
         n_lanes = arena.capacity
-        per_pixel = rgba.reshape(m // n_lanes, n_lanes, 4).sum(axis=0)
-        fb = fb + per_pixel[:fb.shape[0]]
+        ss = samples * samples
+        n_pix = fb.shape[0]
+        per_lane = rgba.reshape(m // n_lanes, n_lanes, 4).sum(axis=0)
+        if tiled:
+            # undo the tile permutation: lane (tr, tc, r, c) -> pixel row
+            # tr*T + r, col tc*T + c
+            per_pixel = (per_lane[:n0]
+                         .reshape(height // T, width // T, T, T, 4)
+                         .transpose(0, 2, 1, 3, 4)
+                         .reshape(n_pix, 4))
+        else:
+            per_pixel = (per_lane[:n_pix * ss]
+                         .reshape(n_pix, ss, 4).sum(axis=1))
+        fb = fb + per_pixel
     else:
         fb = image_lib.local_add(
             fb, spawn[:, 12].astype(jnp.int32), color * spawn[:, 11:12],

@@ -80,9 +80,12 @@ def test_fast_samples4():
     rays = cam.generate_rays()
     arena = make_arena(rays, scene.num_lights)
     fb_loop = trace_image(scene, arena, 32, 32, max_rounds=8)
-    # multi-sample films have lane != pixel: the dense deposit is gated
-    # off (the renderer passes dense_deposit=samples==1)
-    fb_fast = trace_image_fast(scene, rays, 32, 32, dense_deposit=False)
+    # multi-sample films stay dense via the samples reshape (pixel ==
+    # lane // S^2); also check the general scatter path agrees
+    fb_fast = trace_image_fast(scene, rays, 32, 32, samples=2)
+    fb_scatter = trace_image_fast(scene, rays, 32, 32, dense_deposit=False)
+    np.testing.assert_allclose(np.asarray(fb_fast), np.asarray(fb_scatter),
+                               atol=1e-6, rtol=0)
     np.testing.assert_allclose(np.asarray(fb_loop)[:, :3],
                                np.asarray(fb_fast)[:, :3],
                                atol=1e-6, rtol=0)
