@@ -751,11 +751,12 @@ def trace_image_stepped(scene: SceneData, arena: RayArena, width: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "dense_deposit",
-                                    "samples"))
+                                    "samples", "tile_order"))
 def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
                      height: int, accel=None,
                      dense_deposit: bool = True,
-                     samples: int = 1) -> jax.Array:
+                     samples: int = 1,
+                     tile_order: bool = False) -> jax.Array:
     """Single-instance megapass: the whole frame in TWO intersection
     dispatches (one closest-hit over the camera wavefront, one any-hit over
     the spawned shadow wavefront) with zero arena churn.
@@ -788,6 +789,13 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
     # inherit the parent lane's tile). Pure static transposes, inverted at
     # deposit time. Only meaningful for whole-film samples==1 wavefronts
     # (the dense-deposit contract).
+    #
+    # OFF BY DEFAULT: measured 59 ms vs 66 ms on bunny 512², and bit-exact
+    # vs the looped tracer on CPU at 32²/64², but the full-film TPU render
+    # diverged from the bunny golden (13% of pixels, max 127) on
+    # 2026-08-21 — un-diagnosed (every component checks out individually;
+    # suspicion is a Mosaic-level interaction). Opt in with
+    # tile_order=True once TPU golden parity is re-established.
     # the dense-deposit contract is checkable statically: the wavefront
     # must cover the whole film (n0 == W*H*S^2 lanes in camera order).
     # Subwindow / cropped wavefronts fall back to the pixel-id scatter
@@ -795,7 +803,8 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
     dense_deposit = (dense_deposit
                      and n0 == width * height * samples * samples)
     T = int(PACKET ** 0.5)
-    tiled = (dense_deposit and samples == 1 and n0 == width * height
+    tiled = (tile_order and dense_deposit and samples == 1
+             and n0 == width * height
              and width % T == 0 and height % T == 0)
     if tiled:
         def to_tiles(a):
