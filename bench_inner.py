@@ -75,10 +75,17 @@ def main_surface():
     rays0 = cam.generate_rays()
     arena0 = None if fast else make_arena(rays0, scene.num_lights)
 
+    # GRAVIT_BENCH_SCATTER=1 falls back to the pixel-id scatter deposit
+    # (the round-start megapass config) if dense-deposit golden validation
+    # is ever in question on the live device
+    import os
+    dense = os.environ.get("GRAVIT_BENCH_SCATTER", "0") != "1"
+
     def frame(i):
         if fast:
             rays = rays0.replace(origin=rays0.origin + 1.7e-6 * (i + 1))
-            return trace_image_fast(scene, rays, WIDTH, HEIGHT, accel=accel)
+            return trace_image_fast(scene, rays, WIDTH, HEIGHT, accel=accel,
+                                    dense_deposit=dense)
         arena = arena0.replace(origin=arena0.origin + 1.7e-6 * (i + 1))
         if fused:
             return trace_image(scene, arena, WIDTH, HEIGHT,

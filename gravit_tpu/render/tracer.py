@@ -846,8 +846,16 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
         return image_lib.clamp_rgb(fb)
     s_valid = spawn[:, 15] > 0.5
     minv = scene.inst_minv[0]
-    s_o = jnp.einsum("ij,nj->ni", minv[:3, :3], spawn[:, 0:3]) + minv[:3, 3]
-    s_d = jnp.einsum("ij,nj->ni", minv[:3, :3], spawn[:, 3:6])
+    # broadcast-multiply + small-axis sum, NOT an "ij,nj->ni" einsum: the
+    # unbatched form is a real matmul that XLA lowers onto the MXU with
+    # bf16 operands, which shifted shadow origins enough to flip
+    # occlusion on 13% of bunny pixels (max byte err 127) — the exact
+    # failure mode the looped path's batched "nij,nj->ni" comment warns
+    # about (to_object_space NOTE / .claude verify recipe)
+    m3 = minv[:3, :3]
+    s_o = jnp.sum(m3[None, :, :] * spawn[:, None, 0:3], axis=-1) \
+        + minv[:3, 3]
+    s_d = jnp.sum(m3[None, :, :] * spawn[:, None, 3:6], axis=-1)
     if m % PACKET:
         padm = PACKET - m % PACKET
         z = lambda a: jnp.concatenate(
