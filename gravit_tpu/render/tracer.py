@@ -756,7 +756,7 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
                      height: int, accel=None,
                      dense_deposit: bool = True,
                      samples: int = 1,
-                     tile_order: bool = False) -> jax.Array:
+                     tile_order: bool = True) -> jax.Array:
     """Single-instance megapass: the whole frame in TWO intersection
     dispatches (one closest-hit over the camera wavefront, one any-hit over
     the spawned shadow wavefront) with zero arena churn.
@@ -790,12 +790,11 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
     # deposit time. Only meaningful for whole-film samples==1 wavefronts
     # (the dense-deposit contract).
     #
-    # OFF BY DEFAULT: measured 59 ms vs 66 ms on bunny 512², and bit-exact
-    # vs the looped tracer on CPU at 32²/64², but the full-film TPU render
-    # diverged from the bunny golden (13% of pixels, max 127) on
-    # 2026-08-21 — un-diagnosed (every component checks out individually;
-    # suspicion is a Mosaic-level interaction). Opt in with
-    # tile_order=True once TPU golden parity is re-established.
+    # Golden-validated on hardware 2026-08-21 (frac 1.9e-5, max 1 byte —
+    # the same skew as the stepped path) after the MXU-bf16 shadow
+    # transform fix below; 57.1 vs 67.2 ms/frame on bunny 512². An
+    # earlier divergence blamed on tiling was entirely that transform
+    # bug (tiled and untiled produced the identical 13%-pixel diff).
     # the dense-deposit contract is checkable statically: the wavefront
     # must cover the whole film (n0 == W*H*S^2 lanes in camera order).
     # Subwindow / cropped wavefronts fall back to the pixel-id scatter
