@@ -24,6 +24,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+# sibling example import works both as `python examples/trace_view_app.py`
+# and via runpy from another cwd
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from gravit_tpu import api
 from simple_app import build_scene
