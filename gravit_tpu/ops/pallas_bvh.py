@@ -45,9 +45,10 @@ def _traverse_kernel(max_iters, block_root, ox, oy, oz, dx, dy, dz, valid,
     lane has some hit (occlusion testing: rtcOccluded semantics) — the
     reported hit is then not necessarily the closest. `tfar` seeds the
     best-hit distance (rtcIntersect/rtcOccluded ray.tfar): nodes and
-    triangles beyond it are culled, which is what lets shadow any-hit
-    packets whose rays see the light terminate without walking the whole
-    tree."""
+    triangles beyond it are culled. NOTE: every in-repo caller passes the
+    FLT_MAX default, matching the reference's unbounded occlusion tfar
+    (EmbreeMeshAdapter.cpp:279) — a finite tfar is a non-parity
+    optimization hook, currently unused."""
     i = pl.program_id(0)
     root = block_root[i]
     iter_cap = max_iters[0]

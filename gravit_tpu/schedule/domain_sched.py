@@ -558,7 +558,8 @@ class DomainRenderer:
 
     def render_hybrid(self, camera, chunk: int = 4, tau: float = 2.0,
                       policy: str = "RayWeightedSpread",
-                      max_rounds: int = 32, return_load: bool = False):
+                      max_rounds: int = 32, return_load: bool = False,
+                      exchange_cap: int | None = None):
         """IN-FRAME hybrid scheduling (HybridTracer.h:223-299): trace in
         chunks of `chunk` rounds; after each chunk psum the per-domain
         pending histogram, and when the per-device load imbalance exceeds
@@ -576,7 +577,7 @@ class DomainRenderer:
         arena = tracer_lib.make_arena(rays,
                                       int(self.scene_stacked.num_lights))
         n_dev = self.mesh.shape[self.axis]
-        cap = max(1024, arena.capacity // n_dev)
+        cap = exchange_cap or max(1024, arena.capacity // n_dev)
         dr = self
         if dr.resident is None:
             dr = dataclasses.replace(dr, resident=one_hot_residency(
@@ -609,19 +610,35 @@ class DomainRenderer:
 
         first = True
         done_rounds = 0
+        grows = 0
+        max_grows = 3
         while done_rounds < max_rounds:
-            fb, drops, load, arena, hist = trace_domain(
+            # keep the pre-chunk arena: a chunk is a pure function of
+            # (arena, cap), so an overflowing chunk can be re-run exactly
+            # from this state with a larger exchange capacity
+            arena_prev = arena
+            fb, (drops, peak), load, arena, hist = trace_domain(
                 dr.scene_stacked, dr.owners, arena,
                 camera.film_width, camera.film_height,
                 dr.mesh, dr.axis, min(chunk, max_rounds - done_rounds),
                 exchange_cap=cap, accel=dr.accel,
-                return_stats=True, return_load=True,
+                return_stats="peak", return_load=True,
                 resident=dr.resident, initial_shuffle=first,
                 return_arena=True)
             if int(drops) > 0:
-                raise RuntimeError(
-                    f"in-frame exchange dropped {int(drops)} rays at "
-                    f"cap={cap}; increase arena/exchange capacity")
+                # in-frame predictive regrow (same policy as render()):
+                # a transient hot spot must not abort a long frame —
+                # rewind to the pre-chunk state and replay the chunk with
+                # capacity = the observed peak per-destination demand
+                if grows >= max_grows:
+                    raise RuntimeError(
+                        f"in-frame exchange still dropping {int(drops)} "
+                        f"rays at cap={cap}; increase arena capacity")
+                grows += 1
+                need = -(-max(int(peak), cap + 1) // 1024) * 1024
+                cap = min(max(need, cap * 2), arena_prev.capacity)
+                arena = arena_prev
+                continue
             fb_total = fb_total + fb
             loads += np.asarray(load, np.int64)
             done_rounds += chunk

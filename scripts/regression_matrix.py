@@ -288,10 +288,32 @@ def main():
         return f"max |d|={err:.1e}"
     row("vol", "march", "domain(2)", vol_domain)
 
+    def amr_app():
+        """examples/amr_app.py end-to-end (AmrApp.cpp:201-401 analog):
+        the reference ballinthecorner.amrvol (VTK grids + subgrid tree)
+        when present, else the synthetic nested-wavelet AMR scene."""
+        import subprocess
+        import tempfile
+
+        from gravit_tpu.scene import image as img
+
+        with tempfile.TemporaryDirectory() as td:
+            out = pathlib.Path(td) / "amr"
+            res = subprocess.run(
+                [sys.executable, str(ROOT / "examples/amr_app.py"),
+                 "-wsize", "64", "64", "-output", str(out)],
+                capture_output=True, text=True, timeout=900,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"})
+            assert res.returncode == 0, res.stderr[-200:]
+            im = img.read_ppm(str(out) + ".ppm")
+            assert im.sum() > 0, "AMR render is black"
+            return f"mean={im.mean():.2f}"
+    row("amr", "march", "image", amr_app)
+
     # ---- table + artifact ------------------------------------------------
     n_pass = sum(r["status"] == "PASS" for r in ROWS)
     print(f"\n{n_pass}/{len(ROWS)} rows pass")
-    out = ROOT / "REGRESSION_r03.json"
+    out = ROOT / "REGRESSION_r04.json"
     out.write_text(json.dumps({"pass": n_pass, "total": len(ROWS),
                                "rows": ROWS}, indent=1))
     print(f"wrote {out}")

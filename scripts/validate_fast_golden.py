@@ -1,7 +1,7 @@
 """Wait for the TPU tunnel to clear, then golden-validate the EXACT
-megapass configuration bench_inner --fast measures (row-order, dense
-deposit), full film vs Test/CTESTtest/data/bunny.ppm. Appends one JSON
-line to tpu_campaign.log.
+megapass configuration bench_inner --fast measures (tile_order=True
+default, dense deposit), full film vs Test/CTESTtest/data/bunny.ppm.
+Appends one JSON line to tpu_campaign.log.
 
   nohup python scripts/validate_fast_golden.py &
 """

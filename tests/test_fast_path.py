@@ -129,11 +129,11 @@ def test_fast_tile_order_64():
     """tile_order=True at a film with a NONTRIVIAL tile grid (64x64 ->
     2x2 grid of 32x32 tiles; at 32x32 the permutation is the identity and
     proves nothing). Bit-equality vs both the row-order fast path and the
-    looped tracer. The flag is off by default pending TPU-golden
-    revalidation (see trace_image_fast)."""
+    looped tracer. tile_order defaults ON since d7e35ec (golden-validated
+    on hardware), so the row-order side must be pinned OFF explicitly."""
     scene, cam = _single_instance(LIGHT_SETS["mixed"], w=64, h=64)
     rays = cam.generate_rays()
-    fb_row = trace_image_fast(scene, rays, 64, 64)
+    fb_row = trace_image_fast(scene, rays, 64, 64, tile_order=False)
     fb_tile = trace_image_fast(scene, rays, 64, 64, tile_order=True)
     np.testing.assert_array_equal(np.asarray(fb_row), np.asarray(fb_tile))
     arena = make_arena(rays, scene.num_lights)

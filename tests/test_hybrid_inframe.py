@@ -64,6 +64,22 @@ def test_inframe_remap_balances_and_preserves_image():
     assert (load_hybrid[1:] > 0).any()
 
 
+def test_inframe_overflow_regrows_not_raises():
+    """A deliberately tiny exchange_cap must NOT abort the frame: the
+    overflowing chunk is rewound and replayed with the observed peak
+    per-destination demand (the same predictive regrow render() has), and
+    the finished image is bit-identical to an uncapped render."""
+    meshes, instances, lights, cam = _scene()
+    mesh = Mesh(np.array(jax.devices()[:N_DEV]), ("domains",))
+    good = np.arange(len(instances), dtype=np.int32) % N_DEV
+    dr = DomainRenderer.build(meshes, instances, lights, mesh, owners=good)
+    fb_plain = dr.render(cam)
+    # cap=1: essentially every migrating ray overflows on the first chunk
+    fb_tiny = dr.render_hybrid(cam, chunk=2, tau=4.0, exchange_cap=1)
+    np.testing.assert_array_equal(np.asarray(fb_plain)[:, :3],
+                                  np.asarray(fb_tiny)[:, :3])
+
+
 def test_inframe_remap_noop_when_balanced():
     """A well-placed scene must not be perturbed (remap is conditional)."""
     meshes, instances, lights, cam = _scene()

@@ -132,3 +132,33 @@ def test_cornell_box_render():
     fb = np.asarray(trace_image(scene, arena, 32, 32, max_rounds=24))
     assert np.isfinite(fb).all()
     assert (fb[:, :3].sum(-1) > 0).sum() > 30
+
+
+def test_vtk_amrvol_reader():
+    """ASCII VTK structured-points + .amrvol index (the AmrApp inputs,
+    AmrApp.cpp:246-262): dims/origin/spacing parse, the subgrid tree BFS
+    finds the level-1 child, and read_amr_volume nests it."""
+    import pathlib
+
+    path = pathlib.Path("/root/reference/data/vol/ballinthecorner.amrvol")
+    if not path.exists():
+        return
+    from gravit_tpu.scene.readers.vtk import (amr_domain_subgrids,
+                                              read_amr_volume, read_amrvol,
+                                              read_vtk_structured_points)
+
+    idx = read_amrvol(str(path))
+    assert idx.levels >= 1 and idx.grids_per_level[0] >= 1
+    g = read_vtk_structured_points(idx.grid_files[0])
+    nx, ny, nz = g.dims
+    assert g.data.shape == (nz, ny, nx)
+    assert np.isfinite(g.data).all()
+
+    two = pathlib.Path("/root/reference/data/vol/ballinthecorner2.amrvol")
+    if two.exists():
+        idx2 = read_amrvol(str(two))
+        assert idx2.levels == 2
+        assert amr_domain_subgrids(idx2, 0) == [1]
+        vols = read_amr_volume(str(two))
+        assert len(vols) == 1 and len(vols[0].subgrids) == 1
+        assert vols[0].subgrids[0].level == 1
