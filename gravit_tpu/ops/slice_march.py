@@ -1,0 +1,387 @@
+"""Slice-order volume integration on the MXU — the fast volume engine.
+
+The TPU re-design of the reference's native volume engine (GregSpray's
+ISPC per-ray marcher behind ospTraceRays, adapter/ospray/
+OSPRayAdapter.cpp:301). A per-ray gather march is the wrong shape for a
+TPU: per-lane random access into the brick does not vectorize (Mosaic has
+no cross-vreg gather), and the jnp formulation (ops/volume_march.py) is
+~95% gather-bound. This module restructures the integral OBJECT-ORDER:
+
+  march plane-by-plane along the dominant view axis; at each plane the
+  sample for every ray is a bilinear resample of the (z-lerped) slice,
+  expressed as hat-function weight matrices contracted on the MXU:
+
+      sample[r] = sum_y Wy[y,r] * (S_z @ Wx)[y,r],
+      Wx[x,r] = max(0, 1-|gx_r - x|)   (the linear-interp hat — exactly
+                                        the two-tap lerp, written dense)
+
+  so trilinear interpolation costs matmuls + elementwise VPU work and
+  ZERO gathers. The transfer-function LUT is applied with Mosaic's
+  within-vreg lane gather (256 entries = two 128-lane halves + select).
+  The whole frame fuses into ONE Pallas kernel: volume resident in VMEM,
+  per-block plane-range clipping, early exit on opacity saturation.
+
+This is the classic 3D-texture-slicing discretization: sample positions
+lie on fixed planes (spacing `step` along the axis) instead of the
+per-ray arc-length ladder GregSpray uses, with per-ray opacity
+correction a = 1-(1-a_tf)^(arc/base) for the oblique path length — the
+same correction the jnp march applies (volume_march.py). Images converge
+to the ray march as sampling_rate rises; `slice_march_reference` is a
+bit-faithful jnp twin of the kernel used for validation and gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gravit_tpu.core.rays import RAY_BOUNDARY, RAY_OPAQUE
+
+OPACITY_TERMINATION = 0.99
+RAYS_PER_BLOCK = 1024      # rays on LANES: (1, 1024) rows -> 8 lane-chunks
+PLANE_BATCH = 8            # planes sampled per TF/composite batch
+BIG = 1e30
+# minimum |d_axis| (unit d) for the slice formulation to be well-
+# conditioned; callers fall back to the gather march below this
+MIN_AXIS_COMPONENT = 0.25
+
+
+def _default_interpret() -> bool:
+    return os.environ.get("GRAVIT_PALLAS_INTERPRET", "0") == "1"
+
+
+def choose_slice_axis(d_mean) -> tuple[int, bool]:
+    """(world_axis, flip) from a mean ray direction (host-side numpy)."""
+    import numpy as np
+
+    d = np.asarray(d_mean, np.float64)
+    a = int(np.argmax(np.abs(d)))
+    return a, bool(d[a] < 0.0)
+
+
+# --------------------------------------------------------------------------
+# shared geometry: world rays -> grid-coordinate rays for a permuted,
+# flip-normalized volume. After this transform the volume is S (nz, nS, nL)
+# with the march axis ascending along dim 0, and a ray samples grid
+# position g(t) = o' + t*d' (gz along dim0, gy along dim1, gx along dim2).
+
+def _permute_volume(samples, axis: int, flip: bool):
+    """samples (nz, ny, nx) with world axes (x,y,z) = dims (2,1,0)."""
+    dim_of_world = {0: 2, 1: 1, 2: 0}
+    a_dim = dim_of_world[axis]
+    rem = [d for d in (0, 1, 2) if d != a_dim]      # keep (sub, lane) order
+    S = jnp.transpose(samples, (a_dim, rem[0], rem[1]))
+    if flip:
+        S = S[::-1]
+    # world axes of (sublane, lane) dims
+    world_of_dim = {2: 0, 1: 1, 0: 2}
+    return S, world_of_dim[rem[0]], world_of_dim[rem[1]]
+
+
+def _grid_rays(o_obj, d_obj, origin, spacing, axis: int, flip: bool,
+               n_axis: int, w_sub: int, w_lane: int):
+    """Affine-map object-space rays into permuted grid coordinates."""
+    def gcoord(w):
+        return ((o_obj[:, w] - origin[w]) / spacing[w],
+                d_obj[:, w] / spacing[w])
+
+    oz, dz = gcoord(axis)
+    oy, dy = gcoord(w_sub)
+    ox, dx = gcoord(w_lane)
+    if flip:
+        oz = (n_axis - 1) - oz
+        dz = -dz
+    return ox, oy, oz, dx, dy, dz
+
+
+def _arc_correction(d_obj, spacing, axis: int, step: float, base: float):
+    """Per-ray opacity-correction exponent: plane-to-plane arc length over
+    the base step (d_obj assumed unit, as in march_round)."""
+    da = jnp.abs(d_obj[:, axis])
+    arc = step / jnp.maximum(da, 1e-6)
+    return arc / base
+
+
+# --------------------------------------------------------------------------
+# jnp reference twin (validation, interpret fallback, gradients)
+
+def _apply_tf_formula(color_lut, opacity_lut, low, high, s):
+    """The exact apply_tf math (scene/transfer.py:73-92) inlined with
+    static range; returns (rgb (..., 3), a (...))."""
+    x = (s - low) / max(high - low, 1e-30)
+    x = jnp.clip(x, 0.0, 1.0) * 255.0
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, 254)
+    frac = (x - i0)[..., None]
+    rgba = jnp.concatenate([color_lut, opacity_lut[:, None]], axis=1)
+    v = rgba[i0] * (1 - frac) + rgba[i0 + 1] * frac
+    return v[..., 0:3], v[..., 3]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "axis", "flip", "step", "base_step", "low", "high", "origin", "spacing"))
+def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
+                          samples, color_lut, opacity_lut,
+                          *, axis: int, flip: bool, step: float,
+                          base_step: float, low: float, high: float,
+                          origin: tuple, spacing: tuple):
+    """Pure-jnp twin of the Pallas kernel: identical plane discretization,
+    hat-weight bilinear, TF lerp and compositing — the validation oracle
+    (kernel vs this: tolerance ~1e-5) and the differentiable path."""
+    origin_a = jnp.asarray(origin, jnp.float32)
+    spacing_a = jnp.asarray(spacing, jnp.float32)
+    S, w_sub, w_lane = _permute_volume(samples, axis, flip)
+    nz, nS, nL = S.shape
+    dzg = step / spacing[axis]
+    n_planes = int(-(-float(nz - 1) // dzg))
+
+    ox, oy, oz, dx, dy, dz = _grid_rays(
+        o_obj, d_obj, origin_a, spacing_a, axis, flip, nz, w_sub, w_lane)
+    corr = _arc_correction(d_obj, spacing_a, axis, step, base_step)
+
+    def safe_inv(x):
+        return jnp.where(jnp.abs(x) < 1e-12,
+                         jnp.where(x < 0, -BIG, BIG), 1.0 / x)
+
+    iz, iy, ix = safe_inv(dz), safe_inv(dy), safe_inv(dx)
+    bounds = [(ox, ix, nL), (oy, iy, nS), (oz, iz, nz)]
+    t_in = jnp.full_like(ox, -BIG)
+    t_out = jnp.full_like(ox, BIG)
+    for o_, inv_, n_ in bounds:
+        a = (0.0 - o_) * inv_
+        b = (float(n_ - 1) - o_) * inv_
+        t_in = jnp.maximum(t_in, jnp.minimum(a, b))
+        t_out = jnp.minimum(t_out, jnp.maximum(a, b))
+    t_in = jnp.maximum(t_in, 0.0)
+
+    xs = jnp.arange(nL, dtype=jnp.float32)
+    ys = jnp.arange(nS, dtype=jnp.float32)
+
+    def body(carry, k):
+        color, w = carry
+        zg = (k.astype(jnp.float32) + 0.5) * dzg
+        k0 = jnp.clip(jnp.floor(zg).astype(jnp.int32), 0, nz - 2)
+        fz = jnp.clip(zg - k0, 0.0, 1.0)
+        Sz = S[k0] * (1.0 - fz) + S[k0 + 1] * fz            # (nS, nL)
+        t_k = (zg - oz) * iz
+        gx = jnp.clip(ox + t_k * dx, 0.0, float(nL - 1))
+        gy = jnp.clip(oy + t_k * dy, 0.0, float(nS - 1))
+        Wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None] - xs[None, :]))
+        Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None] - ys[None, :]))
+        t1 = jnp.dot(Wx, Sz.T, preferred_element_type=jnp.float32)
+        s = jnp.sum(t1 * Wy, axis=1)                        # (N,)
+        rgb, a_tf = _apply_tf_formula(color_lut, opacity_lut, low, high, s)
+        inside = (active & (t_k >= t_in) & (t_k < t_out)
+                  & (w < OPACITY_TERMINATION))
+        a = 1.0 - jnp.power(jnp.maximum(1.0 - a_tf, 0.0), corr)
+        a = jnp.where(inside, a, 0.0)
+        color = color + (1.0 - w)[:, None] * a[:, None] * rgb
+        w = w + (1.0 - w) * a
+        return (color, w), None
+
+    (color, w), _ = jax.lax.scan(body, (color_in, w_in),
+                                 jnp.arange(n_planes))
+    opaque = w >= OPACITY_TERMINATION
+    flags = jnp.where(opaque, RAY_OPAQUE, RAY_BOUNDARY)
+    return color, w, jnp.where(active, flags, 0)
+
+
+# --------------------------------------------------------------------------
+# the Pallas kernel
+
+def _lut_lookup(tf_ref, ch: int, idx, R: int):
+    """256-entry LUT lookup on (PLANE_BATCH, R) int32 indices via Mosaic's
+    within-vreg lane gather: the LUT rides as (32, 128) — channel ch's two
+    128-entry halves at rows [ch*8:(ch+1)*8] x2 blocks — and each 128-lane
+    chunk gathers from its half, selected by idx>=128."""
+    lo = tf_ref[ch * 16:ch * 16 + 8, :]          # (8, 128) entries 0..127
+    hi = tf_ref[ch * 16 + 8:ch * 16 + 16, :]     # (8, 128) entries 128..255
+    cols = []
+    for c in range(R // 128):
+        ic = idx[:, c * 128:(c + 1) * 128]       # (8, 128)
+        g_lo = jnp.take_along_axis(lo, jnp.clip(ic, 0, 127), axis=1)
+        g_hi = jnp.take_along_axis(hi, jnp.clip(ic - 128, 0, 127), axis=1)
+        cols.append(jnp.where(ic < 128, g_lo, g_hi))
+    return jnp.concatenate(cols, axis=1)         # (8, R)
+
+
+def _slice_kernel(ray_ref, S_ref, tf_ref, out_ref, *,
+                  nz: int, nS: int, nL: int, dzg: float, n_planes: int,
+                  low: float, high: float):
+    """One grid step = one RAYS_PER_BLOCK block of rays (lanes-major)."""
+    R = RAYS_PER_BLOCK
+    rr = ray_ref[0]                               # (12, R)
+    ox, oy, oz = rr[0:1, :], rr[1:2, :], rr[2:3, :]
+    dx, dy, dz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
+    corr = rr[6:7, :]
+    act = rr[7:8, :] > 0.5
+    color0 = (rr[8:9, :], rr[9:10, :], rr[10:11, :])
+    w0 = rr[11:12, :]
+
+    def safe_inv(x):
+        return jnp.where(jnp.abs(x) < 1e-12,
+                         jnp.where(x < 0, -BIG, BIG), 1.0 / x)
+
+    iz, iy, ix = safe_inv(dz), safe_inv(dy), safe_inv(dx)
+    t_in = jnp.full((1, R), -BIG, jnp.float32)
+    t_out = jnp.full((1, R), BIG, jnp.float32)
+    for o_, inv_, n_ in ((ox, ix, nL), (oy, iy, nS), (oz, iz, nz)):
+        a = (0.0 - o_) * inv_
+        b = (float(n_ - 1) - o_) * inv_
+        t_in = jnp.maximum(t_in, jnp.minimum(a, b))
+        t_out = jnp.minimum(t_out, jnp.maximum(a, b))
+    t_in = jnp.maximum(t_in, 0.0)
+
+    # block plane range from the active lanes' entry/exit z (the per-block
+    # analog of the march's t_in clipping); inactive blocks run 0 batches
+    hit = act & (t_out > t_in)
+    z_ent = oz + t_in * dz
+    z_exit = oz + t_out * dz
+    k_ent = jnp.min(jnp.where(hit, z_ent, BIG)) / dzg - 0.5
+    k_exit = jnp.max(jnp.where(hit, z_exit, -BIG)) / dzg + 0.5
+    any_hit = jnp.any(hit)
+    kb_lo = jnp.where(any_hit,
+                      jnp.floor(jnp.maximum(k_ent, 0.0)).astype(jnp.int32)
+                      // PLANE_BATCH,
+                      jnp.int32(0))
+    kb_hi = jnp.where(any_hit,
+                      (jnp.minimum(jnp.ceil(k_exit), float(n_planes))
+                       .astype(jnp.int32) + PLANE_BATCH - 1) // PLANE_BATCH,
+                      jnp.int32(0))
+
+    sub_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (max(nS, nL), R), 0).astype(jnp.float32)
+
+    def batch_body(state):
+        kb, color, w = state
+        s_rows, m_rows = [], []
+        for j in range(PLANE_BATCH):
+            k = kb * PLANE_BATCH + j
+            zg = (k.astype(jnp.float32) + 0.5) * dzg
+            k0 = jnp.clip(jnp.floor(zg).astype(jnp.int32), 0, nz - 2)
+            fz = jnp.clip(zg - k0.astype(jnp.float32), 0.0, 1.0)
+            Sz = (S_ref[k0] * (1.0 - fz) + S_ref[k0 + 1] * fz)   # (nS, nL)
+            t_k = (zg - oz) * iz                                 # (1, R)
+            gx = jnp.clip(ox + t_k * dx, 0.0, float(nL - 1))
+            gy = jnp.clip(oy + t_k * dy, 0.0, float(nS - 1))
+            Wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx - sub_iota[:nL]))
+            t1 = jnp.dot(Sz, Wx, preferred_element_type=jnp.float32)
+            Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy - sub_iota[:nS]))
+            s_rows.append(jnp.sum(t1 * Wy, axis=0, keepdims=True))
+            valid = ((t_k >= t_in) & (t_k < t_out)
+                     & (k < n_planes) & act)
+            # masks ride as f32 rows: Mosaic cannot relayout i1 vregs
+            # through concatenate (bitcast_vreg i1->i32 rejection)
+            m_rows.append(valid.astype(jnp.float32))
+        s_b = jnp.concatenate(s_rows, axis=0)        # (PLANE_BATCH, R)
+        m_b = jnp.concatenate(m_rows, axis=0)
+
+        # transfer function: exact apply_tf math, LUT via lane gathers
+        x = (s_b - low) / max(high - low, 1e-30)
+        x = jnp.clip(x, 0.0, 1.0) * 255.0
+        i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, 254)
+        frac = x - i0.astype(jnp.float32)
+        chans = []
+        for ch in range(4):
+            v0 = _lut_lookup(tf_ref, ch, i0, R)
+            v1 = _lut_lookup(tf_ref, ch, i0 + 1, R)
+            chans.append(v0 * (1.0 - frac) + v1 * frac)
+        rgb_b, a_b = chans[0:3], chans[3]
+
+        # sequential front-to-back composite over the batch's planes
+        for j in range(PLANE_BATCH):
+            a_tf = a_b[j:j + 1, :]
+            inside = (m_b[j:j + 1, :] > 0.5) & (w < OPACITY_TERMINATION)
+            a = 1.0 - jnp.power(jnp.maximum(1.0 - a_tf, 0.0), corr)
+            a = jnp.where(inside, a, 0.0)
+            fade = (1.0 - w) * a
+            color = tuple(c + fade * rgb_b[ci][j:j + 1, :]
+                          for ci, c in enumerate(color))
+            w = w + fade
+        return kb + 1, color, w
+
+    def batch_cond(state):
+        kb, color, w = state
+        return (kb < kb_hi) & jnp.any(act & (w < OPACITY_TERMINATION))
+
+    _, color, w = jax.lax.while_loop(
+        batch_cond, batch_body, (kb_lo, color0, w0))
+    out_ref[0] = jnp.concatenate([color[0], color[1], color[2], w], axis=0)
+
+
+def _pack_tf_table(color_lut, opacity_lut):
+    """(32, 128) lane-gather table: per channel ch, rows [ch*16, ch*16+8)
+    broadcast entries 0..127 and rows [ch*16+8, ch*16+16) entries 128..255
+    (every sublane identical — take_along_axis gathers within rows)."""
+    rgba = jnp.concatenate([color_lut, opacity_lut[:, None]], axis=1)  # 256,4
+    rows = []
+    for ch in range(4):
+        for half in range(2):
+            seg = rgba[half * 128:(half + 1) * 128, ch]     # (128,)
+            rows.append(jnp.broadcast_to(seg[None, :], (8, 128)))
+    return jnp.concatenate(rows, axis=0)                    # (32, 128)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "axis", "flip", "step", "base_step", "low", "high", "origin", "spacing",
+    "interpret"))
+def slice_march(o_obj, d_obj, active, color_in, w_in,
+                samples, color_lut, opacity_lut,
+                *, axis: int, flip: bool, step: float, base_step: float,
+                low: float, high: float, origin: tuple, spacing: tuple,
+                interpret: bool = False):
+    """March N rays through the whole brick in ONE kernel dispatch.
+
+    o_obj, d_obj: (N, 3) object-space rays, d unit (march_round's frame);
+    N % RAYS_PER_BLOCK == 0. Returns (color (N,3), w (N,), flags (N,)) with
+    the march_brick flag protocol (RAY_OPAQUE / RAY_BOUNDARY).
+    """
+    n = o_obj.shape[0]
+    origin_t = jnp.asarray(origin, jnp.float32)
+    spacing_t = jnp.asarray(spacing, jnp.float32)
+    S, w_sub, w_lane = _permute_volume(samples, axis, flip)
+    nz, nS, nL = S.shape
+    dzg = step / spacing[axis]
+    n_planes = int(-(-float(nz - 1) // dzg))
+
+    ox, oy, oz, dx, dy, dz = _grid_rays(
+        o_obj, d_obj, origin_t, spacing_t, axis, flip, nz, w_sub, w_lane)
+    corr = _arc_correction(d_obj, spacing_t, axis, step, base_step)
+
+    R = RAYS_PER_BLOCK
+    nb = n // R
+    fields = jnp.stack([
+        ox, oy, oz, dx, dy, dz, corr, active.astype(jnp.float32),
+        color_in[:, 0], color_in[:, 1], color_in[:, 2], w_in,
+    ])                                               # (12, N)
+    fields = fields.reshape(12, nb, R).transpose(1, 0, 2)   # (nb, 12, R)
+    tf_tab = _pack_tf_table(color_lut, opacity_lut)
+
+    out = pl.pallas_call(
+        functools.partial(_slice_kernel, nz=nz, nS=nS, nL=nL, dzg=dzg,
+                          n_planes=n_planes, low=low, high=high),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 12, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(S.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tf_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, R), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 4, R), jnp.float32),
+        interpret=interpret,
+    )(fields, S, tf_tab)
+
+    out = out.transpose(1, 0, 2).reshape(4, n)
+    color = out[0:3].T
+    w = out[3]
+    opaque = w >= OPACITY_TERMINATION
+    flags = jnp.where(opaque, RAY_OPAQUE, RAY_BOUNDARY)
+    return color, w, jnp.where(active, flags, 0)

@@ -143,8 +143,21 @@ class Renderer:
                     stacked, owners, arena, camera.film_width,
                     camera.film_height, jmesh)
             else:
-                fb = trace_volume(scene, arena, camera.film_width,
-                                  camera.film_height)
+                from gravit_tpu.render.volume_tracer import (
+                    can_slice_march, trace_volume_fast)
+
+                rays = camera.generate_rays(volume=True)
+                ok, axis, flip = can_slice_march(scene, rays.direction)
+                if ok:
+                    # single-brick megapass: the whole frame in one
+                    # slice-march kernel dispatch (the ospTraceRays-speed
+                    # engine; AMR/iso/slice scenes keep the gather march)
+                    fb = trace_volume_fast(scene, rays, camera.film_width,
+                                           camera.film_height,
+                                           axis=axis, flip=flip)
+                else:
+                    fb = trace_volume(scene, arena, camera.film_width,
+                                      camera.film_height)
             self._fb[name] = fb
             return
 
@@ -163,9 +176,13 @@ class Renderer:
             fb = dr.render(camera)
         else:
             from gravit_tpu.render.tracer import (make_arena, trace_image,
-                                                  trace_image_fast)
+                                                  trace_image_fast,
+                                                  trace_image_fast_multi)
+            from gravit_tpu.scene.light import LightKind
 
             accel = self._maybe_accel(meshes)
+            no_area = not any(li.kind == int(LightKind.AREA)
+                              for li in lights)
             if scene.num_instances == 1 and camera.max_depth <= 1:
                 # megapass: whole frame in two intersection dispatches
                 # (bit-equal to the loop on this config; tests/test_fast_path)
@@ -173,6 +190,14 @@ class Renderer:
                                       camera.film_width, camera.film_height,
                                       accel=accel,
                                       samples=camera.samples)
+            elif camera.max_depth <= 1 and no_area:
+                # multi-instance megapass: dense 3-phase resolution
+                # (bit-equal to the loop on this contract;
+                # tests/test_fast_multi — area lights excluded because
+                # their sample hashes are seeded by the hit round index)
+                fb = trace_image_fast_multi(
+                    scene, camera.generate_rays(), camera.film_width,
+                    camera.film_height, accel=accel, samples=camera.samples)
             else:
                 arena = make_arena(camera.generate_rays(), scene.num_lights)
                 fb = trace_image(scene, arena, camera.film_width,

@@ -46,6 +46,10 @@ class VolumeSceneData:
     vol_max_steps: tuple = struct.field(pytree_node=False, default=())
     vol_isovalues: tuple = struct.field(pytree_node=False, default=())
     vol_slices: tuple = struct.field(pytree_node=False, default=())
+    # static per-volume geometry/TF metadata for the slice-march fast path
+    # (ops/slice_march.py bakes these into its kernel): per volume a tuple
+    # (origin3, spacing3, (low, high))
+    vol_meta: tuple = struct.field(pytree_node=False, default=())
 
 
 def build_volume_scene(volumes: Sequence[Volume],
@@ -104,4 +108,9 @@ def build_volume_scene(volumes: Sequence[Volume],
                             for v in volumes),
         vol_slices=tuple(tuple(tuple(float(x) for x in pl)
                                for pl in v.slices) for v in volumes),
+        vol_meta=tuple(
+            (tuple(float(x) for x in v.origin),
+             tuple(float(x) for x in v.spacing),
+             (float(v.tf.low), float(v.tf.high)))
+            for v in volumes),
     )

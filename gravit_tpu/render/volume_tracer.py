@@ -149,6 +149,140 @@ def shuffle_volume(scene: VolumeSceneData, arena: RayArena, fb: jax.Array):
                          active=arena.active & ~retire), fb
 
 
+def can_slice_march(scene: VolumeSceneData, directions) -> tuple:
+    """(ok, axis, flip): whether the slice-march fast path applies.
+
+    Requires one volume in one instance, no AMR/iso/slice features (those
+    keep the gather march), and every ray within the dominant-axis cone
+    (|d_axis| >= MIN_AXIS_COMPONENT) so the plane parametrization is
+    well-conditioned. `directions` is a host-side (N, 3) array.
+    """
+    import numpy as np
+
+    from gravit_tpu.ops.slice_march import (MIN_AXIS_COMPONENT,
+                                            choose_slice_axis)
+
+    if scene.num_volumes != 1 or scene.num_instances != 1:
+        return False, 0, False
+    if scene.vol_subgrids and scene.vol_subgrids[0]:
+        return False, 0, False
+    if scene.vol_isovalues and scene.vol_isovalues[0]:
+        return False, 0, False
+    if scene.vol_slices and scene.vol_slices[0]:
+        return False, 0, False
+    if not scene.vol_meta:
+        return False, 0, False
+    d = np.asarray(directions, np.float64)
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
+    axis, flip = choose_slice_axis(d.mean(axis=0))
+    if np.abs(d[:, axis]).min() < MIN_AXIS_COMPONENT:
+        return False, axis, flip
+    return True, axis, flip
+
+
+def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
+                      height: int, axis: int | None = None,
+                      flip: bool | None = None,
+                      interpret: bool | None = None,
+                      use_reference: bool = False) -> jax.Array:
+    """Single-brick volume megapass: the whole frame in ONE slice-march
+    kernel dispatch (ops/slice_march.py) — the fast volume engine, the
+    role ospTraceRays/GregSpray plays for the reference
+    (OSPRayAdapter.cpp:301).
+
+    Exactly the single-volume single-instance whole-film case (the
+    BenchOspray config): every camera ray marches one brick and retires —
+    under those conditions the wavefront loop is statically known to run
+    filter -> march -> deposit, so the round machinery (arena, shuffle,
+    flag protocol) drops out entirely. Callers gate on
+    `num_volumes == num_instances == 1` and no AMR/iso/slice features
+    (those paths keep the gather march) and fall back to trace_volume.
+
+    `rays` is the raw camera wavefront (make_arena not needed). axis/flip
+    override the dominant-axis choice (computed from the mean ray
+    direction otherwise — one small host transfer; pass them explicitly
+    in frame loops). use_reference runs the jnp twin (differentiable).
+    """
+    import numpy as np
+
+    from gravit_tpu.ops import slice_march as sm
+
+    assert scene.num_volumes == 1 and scene.num_instances == 1
+    assert not (scene.vol_subgrids and scene.vol_subgrids[0])
+    assert not (scene.vol_isovalues and scene.vol_isovalues[0])
+    assert not (scene.vol_slices and scene.vol_slices[0])
+    if interpret is None:
+        import os
+        interpret = (os.environ.get("GRAVIT_PALLAS_INTERPRET", "0") == "1"
+                     or jax.default_backend() not in ("tpu", "axon"))
+
+    if axis is None or flip is None:
+        d_mean = np.asarray(rays.direction).mean(axis=0)
+        axis, flip = sm.choose_slice_axis(d_mean)
+
+    origin, spacing, (low, high) = scene.vol_meta[0]
+    step = float(scene.vol_step[0])
+    base = float(min(spacing))
+    meta = dict(axis=int(axis), flip=bool(flip), step=step, base_step=base,
+                low=low, high=high, origin=tuple(origin),
+                spacing=tuple(spacing))
+
+    n0 = rays.capacity
+    R = sm.RAYS_PER_BLOCK
+    pad = (-n0) % R
+    if pad:
+        rays = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), rays)
+
+    return _trace_volume_fast_jit(
+        scene, rays, width, height, n0,
+        interpret=bool(interpret), use_reference=bool(use_reference),
+        **meta)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "n0", "interpret", "use_reference", "axis", "flip",
+    "step", "base_step", "low", "high", "origin", "spacing"))
+def _trace_volume_fast_jit(scene: VolumeSceneData, rays: RayArena,
+                           width: int, height: int, n0: int,
+                           *, interpret: bool, use_reference: bool,
+                           **meta) -> jax.Array:
+    from gravit_tpu.ops import slice_march as sm
+
+    # object-space transform: broadcast-multiply + small-axis sums, NOT an
+    # unbatched matmul (MXU-bf16 parity hazard — see to_object_space NOTE)
+    minv = scene.inst_minv[0]
+    m3 = minv[:3, :3]
+    o_obj = jnp.sum(m3[None, :, :] * rays.origin[:, None, :], axis=-1) \
+        + minv[:3, 3]
+    d_obj = jnp.sum(m3[None, :, :] * rays.direction[:, None, :], axis=-1)
+
+    n = rays.capacity
+    active = rays.active if rays.active.dtype == bool else rays.active > 0
+    fn = sm.slice_march_reference if use_reference else functools.partial(
+        sm.slice_march, interpret=interpret)
+    color, w, _flags = fn(
+        o_obj, d_obj, active, rays.color, rays.w,
+        scene.vol_samples[0], scene.vol_color_lut[0],
+        scene.vol_opacity_lut[0], **meta)
+
+    # single brick: BOUNDARY rays have nowhere to requeue -> EXTERNAL ->
+    # every primary deposits color*w (shuffle_volume's retirement rule)
+    fb = image_lib.new_framebuffer(width, height)
+    contrib = color * w[:, None]
+    if n0 == width * height:
+        # dense whole-film deposit: lane i == pixel i (camera lane order)
+        rgba = jnp.concatenate(
+            [contrib, jnp.ones((n, 1), jnp.float32)], axis=1)
+        fb = fb + rgba[:n0]
+    else:
+        fb = image_lib.local_add(fb, rays.id, contrib,
+                                 jnp.ones((n,), jnp.float32),
+                                 active)
+    return image_lib.clamp_rgb(fb)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_rounds",
                                              "unroll"))
 def trace_volume(scene: VolumeSceneData, arena: RayArena, width: int,

@@ -78,6 +78,10 @@ def partition_volume_scene(volumes: Sequence[Volume],
             vol_step=tuple(ref.vol_step[0] for _ in range(max_local)),
             vol_max_steps=tuple(max(ref.vol_max_steps)
                                 for _ in range(max_local)),
+            # static fields must match across devices for tree.map; the
+            # slice-march fast path (which vol_meta feeds) runs only on
+            # single-brick frames, never under the domain scheduler
+            vol_meta=(),
         )
         stacked_scenes.append(sd)
 
