@@ -123,12 +123,36 @@ def main():
     if result:
         out["mode"] = result["mode"]
         out["ms_per_frame"] = round(result["ms_per_frame"], 1)
+        # device-only rate (frames scanned inside one program: the ~27 ms
+        # axon tunnel round trip amortizes away — what a local chip sees)
+        if "ms_per_frame_device" in result:
+            out["ms_per_frame_device"] = round(
+                result["ms_per_frame_device"], 1)
+            out["rays_per_s_device"] = round(result["rays_per_s_device"])
 
     # volume metric (BASELINE.md protocol names both scenes)
     vol = _run("--volume") if (alive or result) else None
     if vol:
         out["volume_rays_per_s"] = round(vol["rays_per_s"])
         out["volume_ms_per_frame"] = round(vol["ms_per_frame"], 1)
+        if "ms_per_frame_device" in vol:
+            out["volume_ms_per_frame_device"] = round(
+                vol["ms_per_frame_device"], 1)
+            out["volume_rays_per_s_device"] = round(
+                vol["rays_per_s_device"])
+
+    # multi-instance surface row (SimpleApp 25-instance scene; closes the
+    # single-config-bench gap, VERDICT r3 weak #1)
+    simple = _run("--simple", timeout=TIMEOUT_FALLBACK_S) \
+        if (alive or result) else None
+    if simple:
+        out["simple_rays_per_s"] = round(simple["rays_per_s"])
+        out["simple_ms_per_frame"] = round(simple["ms_per_frame"], 1)
+        if "ms_per_frame_device" in simple:
+            out["simple_ms_per_frame_device"] = round(
+                simple["ms_per_frame_device"], 1)
+            out["simple_rays_per_s_device"] = round(
+                simple["rays_per_s_device"])
     out["attempts"] = ATTEMPTS
     print(json.dumps(out))
 

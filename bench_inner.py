@@ -2,25 +2,40 @@
 remote TPU terminal can be timed out and fallen back from).
 
 Modes (first matching flag wins):
-  --fast     single-instance megapass tracer (2 kernel dispatches/frame)
-  --accel    looped tracer + Pallas BVH, whole frame fused in one program
+  --fast          single-instance megapass tracer (2 kernel dispatches/frame)
+  --accel         looped tracer + Pallas BVH, whole frame fused in one program
   --accel --stepped   one bounded program per round
-  --brute    jnp brute-force intersector
-  --volume   wavelet-volume ray march (the BenchOspray analog)
+  --brute         jnp brute-force intersector
+  --simple        25-instance (2-mesh) looped accel frame (multi-instance row)
+  --volume        wavelet-volume slice-march megapass (one kernel dispatch)
+  --volume-march  wavelet-volume gather march (the arena path)
+
+Each mode reports BOTH the e2e ms/frame (includes the ~27 ms axon tunnel
+round trip per dispatch, scripts/micro_pipeline.py) and, where the frame
+is a single jittable program, the DEVICE ms/frame measured by scanning
+SCAN_FRAMES frames inside ONE program (one dispatch + one fetch amortized
+across the scan — the honest number a local chip would see).
 """
 
 import json
+import os
 import sys
 import time
 import pathlib
 
 import numpy as np
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+_ROOT = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(_ROOT))
+# persistent compile cache: first compiles of the fused megapass programs
+# run 5-20+ min on the axon tunnel; later processes (incl. the driver's
+# bench) then load them in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_ROOT / ".jax_cache"))
 
 WIDTH = HEIGHT = 512
 WARMUP = 1
 FRAMES = 3
+SCAN_FRAMES = 10
 
 
 def _bunny():
@@ -41,7 +56,19 @@ def _bunny():
     return cm, scene, cam
 
 
-def _timed(frame, n_rays, mode):
+def _simple():
+    """The reference SimpleApp scene (cone+cube 5x5 grid) at 512^2 — the
+    multi-instance surface row (SimpleApp.cpp:112-311 geometry via
+    tests/scenes.py)."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "tests"))
+    import scenes
+
+    scene, cam = scenes.simple_scene(WIDTH, HEIGHT)
+    meshes = [scenes.cone_mesh(), scenes.cube_mesh()]
+    return meshes, scene, cam
+
+
+def _timed(frame, n_rays, mode, scan=None):
     # inputs are perturbed per frame (the axon dispatch layer memoizes
     # identical executions) and fetched to force materialization
     for i in range(WARMUP):
@@ -55,20 +82,71 @@ def _timed(frame, n_rays, mode):
         times.append(time.time() - t0)
     times.sort()
     dt = times[len(times) // 2]
-    print(json.dumps({"ms_per_frame": dt * 1000,
-                      "rays_per_s": n_rays / dt,
-                      "mode": mode}))
+    rec = {"ms_per_frame": dt * 1000, "rays_per_s": n_rays / dt,
+           "mode": mode}
+    if scan is not None:
+        # device rate: SCAN_FRAMES frames in ONE program — one dispatch +
+        # one fetch amortized over the scan; per-frame inputs perturbed
+        # inside the program so frames cannot collapse
+        try:
+            fb = scan(SCAN_FRAMES)       # warm (compile)
+            float(np.asarray(fb[:8, :]).sum())
+            t0 = time.time()
+            fb = scan(SCAN_FRAMES)
+            float(np.asarray(fb[:8, :]).sum())
+            dt_d = (time.time() - t0) / SCAN_FRAMES
+            rec["ms_per_frame_device"] = dt_d * 1000
+            rec["rays_per_s_device"] = n_rays / dt_d
+        except Exception as e:  # noqa: BLE001 — scan is best-effort extra
+            rec["scan_err"] = repr(e)[:120]
+    print(json.dumps(rec))
 
 
 def main_surface():
-    use_accel = "--accel" in sys.argv or "--fast" in sys.argv
+    use_accel = ("--accel" in sys.argv or "--fast" in sys.argv
+                 or "--simple" in sys.argv)
     fast = "--fast" in sys.argv
+    simple = "--simple" in sys.argv
     fused = "--stepped" not in sys.argv
+
+    import jax
+    import jax.numpy as jnp
 
     from gravit_tpu.accel.scene_accel import build_scene_bvh
     from gravit_tpu.render.tracer import (make_arena, trace_image,
                                           trace_image_fast,
                                           trace_image_stepped)
+
+    if simple:
+        from gravit_tpu.render.tracer import trace_image_fast_multi
+
+        meshes, scene, cam = _simple()
+        accel = build_scene_bvh(meshes)
+        rays0 = cam.generate_rays()
+        looped = "--looped" in sys.argv
+
+        def frame(i):
+            rays = rays0.replace(origin=rays0.origin + 1.7e-6 * (i + 1))
+            if looped:
+                arena = make_arena(rays, scene.num_lights)
+                return trace_image(scene, arena, WIDTH, HEIGHT,
+                                   max_rounds=64, accel=accel)
+            return trace_image_fast_multi(scene, rays, WIDTH, HEIGHT,
+                                          accel=accel, max_rounds=64)
+
+        @jax.jit
+        def scan_frames(ks):
+            def body(_, i):
+                fb = frame_traced(i)
+                return 0, fb[:64]
+            _, fbs = jax.lax.scan(body, 0, ks)
+            return jnp.sum(fbs, axis=0)
+
+        frame_traced = frame
+        _timed(frame, WIDTH * HEIGHT,
+               "simple-looped" if looped else "simple-fastmulti",
+               scan=lambda k: scan_frames(jnp.arange(k)))
+        return
 
     cm, scene, cam = _bunny()
     accel = build_scene_bvh([cm]) if use_accel else None
@@ -93,18 +171,29 @@ def main_surface():
         return trace_image_stepped(scene, arena, WIDTH, HEIGHT,
                                    max_rounds=16, accel=accel)
 
+    scan = None
+    if fast:
+        @jax.jit
+        def scan_frames(ks):
+            def body(_, i):
+                rays = rays0.replace(
+                    origin=rays0.origin + 1.7e-6 * (i + 1))
+                fb = trace_image_fast(scene, rays, WIDTH, HEIGHT,
+                                      accel=accel, dense_deposit=dense)
+                return 0, fb[:64]
+            _, fbs = jax.lax.scan(body, 0, ks)
+            return jnp.sum(fbs, axis=0)
+
+        scan = lambda k: scan_frames(jnp.arange(k))  # noqa: E731
+
     mode = ("fast" if fast
             else "accel-fused" if (use_accel and fused)
             else "accel" if use_accel else "brute")
-    _timed(frame, WIDTH * HEIGHT, mode)
+    _timed(frame, WIDTH * HEIGHT, mode, scan=scan)
 
 
-def main_volume():
-    """Wavelet 64^3 structured volume at 512^2 — the BenchOspray analog
-    (Test/OSPRayTest/BenchOspray.cpp:322-339)."""
-    from gravit_tpu.render.tracer import make_arena
+def _wavelet_setup():
     from gravit_tpu.render.volume_scene import build_volume_scene
-    from gravit_tpu.render.volume_tracer import trace_volume
     from gravit_tpu.scene.camera import PerspectiveCamera
     from gravit_tpu.scene.volume import wavelet_volume
 
@@ -116,6 +205,49 @@ def main_volume():
         eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=(c, c, c), up=(0.0, 0.0, 1.0),
         fov=float(30 * np.pi / 180), film_width=WIDTH, film_height=HEIGHT,
         samples=1, max_depth=1, jitter_window=0.0)
+    return scene, cam
+
+
+def main_volume_fast():
+    """Wavelet 64^3 at 512^2 through the slice-march megapass — the
+    BenchOspray analog on the fast volume engine (ops/slice_march.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gravit_tpu.render.volume_tracer import (can_slice_march,
+                                                 trace_volume_fast)
+
+    scene, cam = _wavelet_setup()
+    rays0 = cam.generate_rays(volume=True)
+    ok, axis, flip = can_slice_march(scene, rays0.direction)
+    assert ok, "bench wavelet config must qualify for the slice march"
+
+    def frame(i):
+        rays = rays0.replace(origin=rays0.origin + 1.7e-4 * (i + 1))
+        return trace_volume_fast(scene, rays, WIDTH, HEIGHT,
+                                 axis=axis, flip=flip)
+
+    @jax.jit
+    def scan_frames(ks):
+        def body(_, i):
+            rays = rays0.replace(origin=rays0.origin + 1.7e-4 * (i + 1))
+            fb = trace_volume_fast(scene, rays, WIDTH, HEIGHT,
+                                   axis=axis, flip=flip)
+            return 0, fb[:64]
+        _, fbs = jax.lax.scan(body, 0, ks)
+        return jnp.sum(fbs, axis=0)
+
+    _timed(frame, WIDTH * HEIGHT, "volume-slice",
+           scan=lambda k: scan_frames(jnp.arange(k)))
+
+
+def main_volume_march():
+    """The arena gather-march volume path (kept for AMR/iso/multi-brick;
+    the old --volume row)."""
+    from gravit_tpu.render.tracer import make_arena
+    from gravit_tpu.render.volume_tracer import trace_volume
+
+    scene, cam = _wavelet_setup()
     rays0 = cam.generate_rays(volume=True)
     arena0 = make_arena(rays0, 0)
 
@@ -123,11 +255,13 @@ def main_volume():
         arena = arena0.replace(origin=arena0.origin + 1.7e-4 * (i + 1))
         return trace_volume(scene, arena, WIDTH, HEIGHT, max_rounds=16)
 
-    _timed(frame, WIDTH * HEIGHT, "volume")
+    _timed(frame, WIDTH * HEIGHT, "volume-march")
 
 
 if __name__ == "__main__":
-    if "--volume" in sys.argv:
-        main_volume()
+    if "--volume-march" in sys.argv:
+        main_volume_march()
+    elif "--volume" in sys.argv:
+        main_volume_fast()
     else:
         main_surface()

@@ -109,45 +109,9 @@ def shuffle(scene: SceneData, arena: RayArena, fb: jax.Array,
                                  jnp.ones_like(arena.w), deposit)
         return arena.replace(active=arena.active & ~pending), fb
 
-    # reciprocal directions: zero components get a big finite value instead
-    # of inf so reverse-mode AD stays NaN-free (double-where pattern);
-    # forward behavior is unchanged for any ray that can hit a box
-    dd = arena.direction
-    small = jnp.abs(dd) < 1e-30
-    d_safe = jnp.where(small, 1.0, dd)
-    inv_dir = jnp.where(small, jnp.where(dd < 0, -1e30, 1e30), 1.0 / d_safe)
-    if scene.inst_bvh is not None:
-        # log-time path: stackless skip-link walk over the instance tree
-        # (BVH.h:61-135 analog); exact same leaf predicate as the scan
-        from gravit_tpu.accel.instance_bvh import closest_instance
-
-        found, nxt, _ = closest_instance(
-            scene.inst_bvh, arena.origin, inv_dir, arena.t_max,
-            arena.prev, pending)
-        # recompute the winner's t_entry through the differentiable
-        # instance table (the tree's node bounds are static copies)
-        safe = jnp.clip(nxt, 0, scene.num_instances - 1)
-        l1 = (scene.inst_lo[safe] - arena.origin) * inv_dir
-        u1 = (scene.inst_hi[safe] - arena.origin) * inv_dir
-        t_entry = jnp.where(found,
-                            jnp.max(jnp.minimum(l1, u1), axis=-1), FLT_MAX)
-    else:
-        # (N, I) slab tests against every instance AABB
-        l = (scene.inst_lo[None, :, :] - arena.origin[:, None, :]) * inv_dir[:, None, :]
-        u = (scene.inst_hi[None, :, :] - arena.origin[:, None, :]) * inv_dir[:, None, :]
-        tnear = jnp.max(jnp.minimum(l, u), axis=-1)
-        tfar = jnp.min(jnp.maximum(l, u), axis=-1)
-        hit = (
-            (tfar > tnear)
-            & (tnear > RAY_EPSILON)
-            & (tnear < arena.t_max[:, None])
-            & (jnp.arange(scene.num_instances)[None, :] != arena.prev[:, None])
-        )
-        tnear = jnp.where(hit, tnear, FLT_MAX)
-        nxt = jnp.argmin(tnear, axis=1).astype(jnp.int32)
-        t_entry = jnp.take_along_axis(tnear, nxt[:, None], axis=1)[:, 0]
-        found = t_entry < FLT_MAX
-
+    found, nxt, t_entry = _next_instance(
+        scene, arena.origin, arena.direction, arena.t_max, arena.prev,
+        pending)
     requeue = pending & found
     new_origin = jnp.where(
         requeue[:, None],
@@ -166,6 +130,51 @@ def shuffle(scene: SceneData, arena: RayArena, fb: jax.Array,
 
     return arena.replace(origin=new_origin, inst=new_inst,
                          active=new_active), fb
+
+
+def _next_instance(scene: SceneData, origin, direction, t_max, prev,
+                   pending):
+    """BVH::intersect leaf semantics (BVH.h:61-135, `update=true` slab):
+    the closest instance AABB with tfar > tnear, tnear > RAY_EPSILON,
+    tnear < t_max, excluding `prev`. Returns (found, next_inst, t_entry).
+    """
+    # reciprocal directions: zero components get a big finite value instead
+    # of inf so reverse-mode AD stays NaN-free (double-where pattern);
+    # forward behavior is unchanged for any ray that can hit a box
+    small = jnp.abs(direction) < 1e-30
+    d_safe = jnp.where(small, 1.0, direction)
+    inv_dir = jnp.where(small, jnp.where(direction < 0, -1e30, 1e30),
+                        1.0 / d_safe)
+    if scene.inst_bvh is not None:
+        # log-time path: stackless skip-link walk over the instance tree
+        # (BVH.h:61-135 analog); exact same leaf predicate as the scan
+        from gravit_tpu.accel.instance_bvh import closest_instance
+
+        found, nxt, _ = closest_instance(
+            scene.inst_bvh, origin, inv_dir, t_max, prev, pending)
+        # recompute the winner's t_entry through the differentiable
+        # instance table (the tree's node bounds are static copies)
+        safe = jnp.clip(nxt, 0, scene.num_instances - 1)
+        l1 = (scene.inst_lo[safe] - origin) * inv_dir
+        u1 = (scene.inst_hi[safe] - origin) * inv_dir
+        t_entry = jnp.where(found,
+                            jnp.max(jnp.minimum(l1, u1), axis=-1), FLT_MAX)
+        return found, nxt, t_entry
+    # (N, I) slab tests against every instance AABB
+    l = (scene.inst_lo[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
+    u = (scene.inst_hi[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
+    tnear = jnp.max(jnp.minimum(l, u), axis=-1)
+    tfar = jnp.min(jnp.maximum(l, u), axis=-1)
+    hit = (
+        (tfar > tnear)
+        & (tnear > RAY_EPSILON)
+        & (tnear < t_max[:, None])
+        & (jnp.arange(scene.num_instances)[None, :] != prev[:, None])
+    )
+    tnear = jnp.where(hit, tnear, FLT_MAX)
+    nxt = jnp.argmin(tnear, axis=1).astype(jnp.int32)
+    t_entry = jnp.take_along_axis(tnear, nxt[:, None], axis=1)[:, 0]
+    return t_entry < FLT_MAX, nxt, t_entry
 
 
 def _cosine_hemisphere(normal: jax.Array, xi: jax.Array) -> jax.Array:
@@ -747,6 +756,279 @@ def trace_image_stepped(scene: SceneData, arena: RayArena, width: int,
         if n_live == 0:
             break
     return fb
+
+
+def _tile_remap(rays: RayArena, width: int, height: int, T: int):
+    """Remap row-major camera lanes into T x T film tiles (tight packet
+    frusta for the BVH kernel). Pure static transposes; _tile_unmap
+    inverts at deposit time."""
+    n0 = rays.capacity
+
+    def to_tiles(a):
+        rest = a.shape[1:]
+        return (a.reshape((height // T, T, width // T, T) + rest)
+                .transpose((0, 2, 1, 3) + tuple(
+                    4 + i for i in range(len(rest))))
+                .reshape((n0,) + rest))
+
+    return jax.tree.map(to_tiles, rays)
+
+
+def _dense_spawn_deposit(fb, spawn, deposit, n_lanes: int, n0: int,
+                         samples: int, tiled: bool, width: int, height: int,
+                         T: int):
+    """Whole-film dense shadow deposit: the camera emits lanes in
+    ((j*W+i)*S+k)*S+s order, so pixel == lane // S^2 and spawn row
+    li*n + lane maps back by reshape — a DENSE per-(light, sample) add
+    with no pixel-id scatter (a 262K-row scatter costs ~15 ms/frame at
+    512^2 on v5e, scripts/micro_stages.py)."""
+    m = spawn.shape[0]
+    color = spawn[:, 6:9]
+    rgba = jnp.concatenate(
+        [color * spawn[:, 11:12], jnp.ones((m, 1), jnp.float32)], axis=1)
+    rgba = jnp.where(deposit[:, None], rgba, 0.0)
+    ss = samples * samples
+    n_pix = fb.shape[0]
+    per_lane = rgba.reshape(m // n_lanes, n_lanes, 4).sum(axis=0)
+    if tiled:
+        # undo the tile permutation: lane (tr, tc, r, c) -> pixel row
+        # tr*T + r, col tc*T + c
+        per_pixel = (per_lane[:n0]
+                     .reshape(height // T, width // T, T, T, 4)
+                     .transpose(0, 2, 1, 3, 4)
+                     .reshape(n_pix, 4))
+    else:
+        per_pixel = (per_lane[:n_pix * ss]
+                     .reshape(n_pix, ss, 4).sum(axis=1))
+    return fb + per_pixel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_rounds", "samples",
+                     "tile_order", "dense_deposit"))
+def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
+                           height: int, accel=None, max_rounds: int = 64,
+                           samples: int = 1, tile_order: bool = True,
+                           dense_deposit: bool = True) -> jax.Array:
+    """Multi-instance depth-1 megapass: resolve the frame in THREE dense
+    phases instead of interleaved wavefront rounds.
+
+      A. closest-hit loop over the CAMERA wavefront only (capacity = N,
+         no spawn slack): rays that hit an instance freeze with their hit
+         recorded; misses hop to the next instance via the 0.95-bump
+         shuffle. Late rounds shrink to the unresolved tail.
+      B. ONE dense shade+spawn pass over all frozen hits (depth-1 rays
+         never re-shade, so one pass is exact).
+      C. any-hit loop over the dense (light, lane) spawn matrix: occluded
+         rows die, escapes hop instances until they clear the scene, then
+         deposit densely (no pixel-id scatter, no arena lanes ever).
+
+    Exactly equivalent to trace_image when (a) no ray can Russian-
+    roulette bounce (camera max_depth == 1) and (b) no area lights (their
+    sample position hashes are seeded by the round index a ray hits in,
+    which this construction collapses to 0). Callers gate on those and
+    fall back to trace_image otherwise. vs the looped tracer this deletes
+    the (1+L)x arena slack, the per-round spawn free-lane scatter, and
+    the shadow/primary round interleave — the multi-instance analog of
+    trace_image_fast's straight-lining.
+
+    Same fast-adapter-under-every-scene property as the reference
+    (EmbreeMeshAdapter.cpp:436-622 runs identically under every tracer).
+    """
+    from gravit_tpu.ops.intersect import Hit
+    from gravit_tpu.ops.pallas_bvh import PACKET
+
+    fb = image_lib.new_framebuffer(width, height)
+    n0 = rays.capacity
+    dense_deposit = (dense_deposit
+                     and n0 == width * height * samples * samples)
+    T = int(PACKET ** 0.5)
+    tiled = (tile_order and dense_deposit and samples == 1
+             and n0 == width * height
+             and width % T == 0 and height % T == 0)
+    if tiled:
+        rays = _tile_remap(rays, width, height, T)
+    if n0 % PACKET:
+        pad = PACKET - n0 % PACKET
+        rays = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), rays)
+
+    arena, fb = shuffle(scene, rays, fb)        # FilterRaysLocally analog
+    n = arena.capacity
+    tile = _choose_tile(scene.num_triangles)
+
+    def closest(o_obj, d_obj, mesh, queued, is_shadow=None):
+        if accel is not None:
+            return _intersect_bvh(scene, accel, o_obj, d_obj, mesh, queued,
+                                  is_shadow=is_shadow)
+        return intersect_closest(
+            o_obj, d_obj, mesh, queued,
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_mesh,
+            tile=tile)
+
+    # ---- phase A: per-ray closest-hit resolution -------------------------
+    # Two stages: full-width rounds run only while MORE than n//8 rays are
+    # still hopping; the surviving tail (grazing rays can hop >32
+    # instances) then compacts into an n//8 arena so its many low-
+    # occupancy rounds pay 1/8 of the per-round glue (packing, shuffle,
+    # selects all scale with arena width). Per-ray math is independent of
+    # lane position/packet composition, so results are unchanged.
+    hit0 = Hit(t=jnp.full((n,), FLT_MAX, jnp.float32),
+               prim=jnp.full((n,), -1, jnp.int32),
+               u=jnp.zeros((n,), jnp.float32),
+               v=jnp.zeros((n,), jnp.float32))
+    thresh = -(-max(PACKET, n // 8) // PACKET) * PACKET
+
+    def a_body(state):
+        r, arena, hit = state
+        o_obj, d_obj, mesh = to_object_space(scene, arena)
+        queued = arena.active & (arena.inst >= 0) & (mesh >= 0)
+        h = closest(o_obj, d_obj, mesh, queued)
+        got = queued & (h.prim >= 0)
+        hit = Hit(t=jnp.where(got, h.t, hit.t),
+                  prim=jnp.where(got, h.prim, hit.prim),
+                  u=jnp.where(got, h.u, hit.u),
+                  v=jnp.where(got, h.v, hit.v))
+        escapes = queued & (h.prim < 0)
+        # hit lanes FREEZE (active=False, inst kept for phase B's normi
+        # gather); escaped lanes hop via the 0.95-bump requeue
+        arena = arena.replace(
+            prev=jnp.where(escapes, arena.inst, arena.prev),
+            inst=jnp.where(escapes, -1, arena.inst),
+            active=arena.active & ~got,
+        )
+        pending = arena.active & (arena.inst < 0)
+        found, nxt, t_entry = _next_instance(
+            scene, arena.origin, arena.direction, arena.t_max, arena.prev,
+            pending)
+        requeue = pending & found
+        arena = arena.replace(
+            origin=jnp.where(requeue[:, None],
+                             arena.origin
+                             + arena.direction * (t_entry * 0.95)[:, None],
+                             arena.origin),
+            inst=jnp.where(requeue, nxt, arena.inst),
+            active=arena.active & ~(pending & ~found),
+        )
+        return r + 1, arena, hit
+
+    def live_count(arena):
+        return jnp.sum(arena.active.astype(jnp.int32))
+
+    # stage 1: full width while the live set is too big to compact
+    def a1_cond(state):
+        r, arena, hit = state
+        return (r < max_rounds) & (live_count(arena) > thresh)
+
+    r, arena, hit = jax.lax.while_loop(a1_cond, a_body,
+                                       (jnp.int32(0), arena, hit0))
+
+    # stage 2: compact live lanes (guaranteed <= thresh) and finish there
+    live = arena.active
+    order = jnp.argsort(~live, stable=True)       # live lanes first
+    sel = order[:thresh]
+    arena_s = jax.tree.map(lambda a: a[sel], arena)
+    hit_s = jax.tree.map(lambda a: a[sel], hit)
+
+    def a2_cond(state):
+        r, arena_s, hit_s = state
+        return (r < max_rounds) & jnp.any(arena_s.active)
+
+    r, arena_s, hit_s = jax.lax.while_loop(a2_cond, a_body,
+                                           (r, arena_s, hit_s))
+    # scatter the tail's state back to the original lanes
+    arena = jax.tree.map(lambda big, small: big.at[sel].set(small),
+                         arena, arena_s)
+    hit = jax.tree.map(lambda big, small: big.at[sel].set(small),
+                       hit, hit_s)
+
+    # ---- phase B: one dense shade + spawn over all hits ------------------
+    resolved = hit.prim >= 0
+    arena = arena.replace(active=resolved)
+    arena, fb, spawn = _process_surface_hits(
+        scene, arena, fb, hit, resolved, jnp.int32(0))
+
+    # ---- phase C: shadow any-hit resolution on the dense spawn matrix ----
+    # Same two-stage shape as phase A: full width while > m//8 rows live,
+    # then compact the hopping tail.
+    m = spawn.shape[0]
+    if m == 0:
+        return image_lib.clamp_rgb(fb)
+    s_valid = spawn[:, 15] > 0.5
+    s_origin0 = spawn[:, 0:3]
+    s_dir0 = spawn[:, 3:6]
+    s_tmax0 = spawn[:, 10]                       # the glm length()=3.0 quirk
+    s_inst0 = spawn[:, 14].astype(jnp.int32)
+    c_thresh = -(-max(PACKET, m // 8) // PACKET) * PACKET
+
+    def c_body_at(s_dir, s_tmax, valid, mm):
+        def c_body(state):
+            r, origin, inst, prev, dead, done = state
+            live = valid & ~dead & ~done
+            mesh_id, minv, _ = _gather_inst(scene, inst)
+            o_obj = jnp.einsum("nij,nj->ni", minv[:, :3, :3], origin) \
+                + minv[:, :3, 3]
+            d_obj = jnp.einsum("nij,nj->ni", minv[:, :3, :3], s_dir)
+            mesh = jnp.where(inst >= 0, mesh_id, -1)
+            queued = live & (inst >= 0) & (mesh >= 0)
+            h = closest(o_obj, d_obj, mesh, queued,
+                        is_shadow=jnp.ones((mm,), bool))
+            occluded = queued & (h.prim >= 0)
+            dead = dead | occluded
+            escapes = queued & (h.prim < 0)
+            prev = jnp.where(escapes, inst, prev)
+            inst = jnp.where(escapes, -1, inst)
+            pending = valid & ~dead & ~done & (inst < 0)
+            found, nxt, t_entry = _next_instance(
+                scene, origin, s_dir, s_tmax, prev, pending)
+            requeue = pending & found
+            origin = jnp.where(
+                requeue[:, None],
+                origin + s_dir * (t_entry * 0.95)[:, None], origin)
+            inst = jnp.where(requeue, nxt, inst)
+            done = done | (pending & ~found)     # escaped the whole scene
+            return r + 1, origin, inst, prev, dead, done
+        return c_body
+
+    def c_live(state, valid):
+        _, _, _, _, dead, done = state
+        return valid & ~dead & ~done
+
+    state0 = (jnp.int32(0), s_origin0, s_inst0,
+              jnp.full((m,), -1, jnp.int32),
+              jnp.zeros((m,), bool), jnp.zeros((m,), bool))
+    c1_body = c_body_at(s_dir0, s_tmax0, s_valid, m)
+    state = jax.lax.while_loop(
+        lambda s: (s[0] < max_rounds)
+        & (jnp.sum(c_live(s, s_valid).astype(jnp.int32)) > c_thresh),
+        c1_body, state0)
+
+    livec = c_live(state, s_valid)
+    order_c = jnp.argsort(~livec, stable=True)
+    sel_c = order_c[:c_thresh]
+    small = tuple(a[sel_c] for a in state[1:])
+    c2_body = c_body_at(s_dir0[sel_c], s_tmax0[sel_c], s_valid[sel_c],
+                        c_thresh)
+    state_s = jax.lax.while_loop(
+        lambda s: (s[0] < max_rounds)
+        & jnp.any(c_live(s, s_valid[sel_c])),
+        c2_body, (state[0],) + small)
+    dead = state[4].at[sel_c].set(state_s[4])
+    done = state[5].at[sel_c].set(state_s[5])
+
+    deposit = (s_valid & ~dead & done
+               & (jnp.sum(spawn[:, 6:9] ** 2, axis=-1) > 0.0))
+    if dense_deposit:
+        fb = _dense_spawn_deposit(fb, spawn, deposit, n, n0, samples,
+                                  tiled, width, height, T)
+    else:
+        fb = image_lib.local_add(
+            fb, spawn[:, 12].astype(jnp.int32),
+            spawn[:, 6:9] * spawn[:, 11:12],
+            jnp.ones((m,), jnp.float32), deposit)
+    return image_lib.clamp_rgb(fb)
 
 
 @functools.partial(jax.jit,

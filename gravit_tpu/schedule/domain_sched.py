@@ -360,6 +360,37 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
     n_rep = jnp.asarray(n_rep_np)
     res = jnp.asarray(np.asarray(resident).astype(np.int32))
 
+    fb, drops, load, arena_out_v, hist, peak = _trace_domain_jit(
+        scene_stacked, route, n_rep, res, arena, accel,
+        mesh=mesh, axis=axis, ray_axis=ray_axis, width=width, height=height,
+        max_rounds=max_rounds, cap=cap, initial_shuffle=initial_shuffle)
+    if not return_arena:
+        fb = image_lib.clamp_rgb(fb)
+    out = [fb]
+    if return_stats:
+        out.append((drops, peak) if return_stats == "peak" else drops)
+    if return_load:
+        out.append(load)
+    if return_arena:
+        out += [arena_out_v, hist]
+    return tuple(out) if len(out) > 1 else fb
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "axis", "ray_axis", "width", "height", "max_rounds", "cap",
+    "initial_shuffle"))
+def _trace_domain_jit(scene_stacked, route, n_rep, res, arena, accel,
+                      *, mesh: Mesh, axis: str, ray_axis, width: int,
+                      height: int, max_rounds: int, cap: int,
+                      initial_shuffle: bool):
+    """The compiled core of trace_domain — ONE jitted program per config.
+
+    The shard_map closure must live under an outer jit keyed on the static
+    config: re-creating it per call re-traces AND re-compiles every frame
+    (measured 2.8 s/frame of pure overhead on CPU — the round-3 scaling
+    artifact's "40x overhead" was exactly this, not collective cost)."""
+    n_dev = mesh.shape[axis]
+
     scene_specs = jax.tree.map(lambda _: P(axis), scene_stacked)
     arena_in = P(axis) if not initial_shuffle else (
         P(ray_axis) if ray_axis else P())
@@ -455,18 +486,7 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
             peak = jax.lax.pmax(peak, ray_axis)
         return fb, drops, load, arena, hist, peak
 
-    fb, drops, load, arena_out_v, hist, peak = run(
-        scene_stacked, route, n_rep, res, arena, accel)
-    if not return_arena:
-        fb = image_lib.clamp_rgb(fb)
-    out = [fb]
-    if return_stats:
-        out.append((drops, peak) if return_stats == "peak" else drops)
-    if return_load:
-        out.append(load)
-    if return_arena:
-        out += [arena_out_v, hist]
-    return tuple(out) if len(out) > 1 else fb
+    return run(scene_stacked, route, n_rep, res, arena, accel)
 
 
 @dataclasses.dataclass

@@ -22,6 +22,8 @@ from gravit_tpu.render.scene_build import SceneData
 from gravit_tpu.render.tracer import make_arena, trace_image
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "mesh",
+                                             "axis", "max_rounds"))
 def trace_image_sharded(scene: SceneData, arena: RayArena, width: int,
                         height: int, mesh: Mesh, axis: str = "rays",
                         max_rounds: int = 64, accel=None) -> jax.Array:
@@ -29,6 +31,11 @@ def trace_image_sharded(scene: SceneData, arena: RayArena, width: int,
 
     Requires arena.capacity divisible by the axis size (and by the Pallas
     PACKET when accel is given).
+
+    The whole call is ONE jitted program (mesh/axis ride as static args):
+    an un-jitted shard_map closure would re-trace AND re-compile on every
+    frame — measured 2.8 s/frame vs 80 ms at n=1 on CPU, the entire "40x
+    sharding overhead" of the round-3 scaling artifact (SCALING_r03).
     """
     scene_specs = jax.tree.map(lambda _: P(), scene)
     arena_specs = jax.tree.map(lambda _: P(axis), arena)

@@ -39,7 +39,7 @@ def probe_once():
 
 CHECK = r"""
 import sys
-sys.path[:0] = ["%s", "%s/scripts"]
+sys.path[:0] = ["%s", "%s/scripts", "%s/tests"]
 import json
 import numpy as np
 from gravit_tpu.render.tracer import trace_image_fast
@@ -53,7 +53,29 @@ ours = img.to_rgb8(np.asarray(fb), 512, 512)
 golden = img.read_ppm(GOLDEN)
 print(json.dumps({"frac": float(img.image_diff(ours, golden)),
                   "max": int(img.max_byte_error(ours, golden))}))
-""" % (ROOT, ROOT)
+""" % (ROOT, ROOT, ROOT)
+
+# full-film simple.ppm through the MULTI-instance megapass + Pallas BVH —
+# the hardware golden for trace_image_fast_multi (the bench --simple config)
+CHECK_MULTI = r"""
+import sys
+sys.path[:0] = ["%s", "%s/scripts", "%s/tests"]
+import json
+import numpy as np
+import scenes
+from gravit_tpu.accel.scene_accel import build_scene_bvh
+from gravit_tpu.render.tracer import trace_image_fast_multi
+from gravit_tpu.scene import image as img
+
+scene, cam = scenes.simple_scene(512, 512)
+accel = build_scene_bvh([scenes.cone_mesh(), scenes.cube_mesh()])
+fb = trace_image_fast_multi(scene, cam.generate_rays(), 512, 512,
+                            accel=accel, max_rounds=64)
+ours = img.to_rgb8(np.asarray(fb), 512, 512)
+golden = img.read_ppm("/root/reference/Test/CTESTtest/data/simple.ppm")
+print(json.dumps({"frac": float(img.image_diff(ours, golden)),
+                  "max": int(img.max_byte_error(ours, golden))}))
+""" % (ROOT, ROOT, ROOT)
 
 
 def main():
@@ -68,26 +90,32 @@ def main():
              "err": "tunnel never recovered within 50 min"})
         return
     log({"step": "validate_fast_golden_probe_ok"})
-    t0 = time.time()
-    try:
-        out = subprocess.run([sys.executable, "-c", CHECK],
-                             capture_output=True, timeout=1700, text=True)
-        line = ""
-        for ln in reversed(out.stdout.strip().splitlines()):
-            if ln.startswith("{"):
-                line = ln
-                break
-        rec = {"step": "validate_fast_golden",
-               "s": round(time.time() - t0, 1),
-               "ok": out.returncode == 0}
-        if line:
-            rec.update(json.loads(line))
-        else:
-            rec["err"] = (out.stdout + out.stderr)[-300:]
-        log(rec)
-    except subprocess.TimeoutExpired:
-        log({"step": "validate_fast_golden", "ok": False,
-             "err": "timeout 1700s (compile still in flight?)"})
+    checks = [("validate_fast_golden", CHECK)]
+    if "--multi" in sys.argv or "--all" in sys.argv:
+        checks.append(("validate_fastmulti_golden", CHECK_MULTI))
+    if "--multi" in sys.argv:
+        checks = checks[1:]
+    for step, code in checks:
+        t0 = time.time()
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, timeout=1700,
+                                 text=True)
+            line = ""
+            for ln in reversed(out.stdout.strip().splitlines()):
+                if ln.startswith("{"):
+                    line = ln
+                    break
+            rec = {"step": step, "s": round(time.time() - t0, 1),
+                   "ok": out.returncode == 0}
+            if line:
+                rec.update(json.loads(line))
+            else:
+                rec["err"] = (out.stdout + out.stderr)[-300:]
+            log(rec)
+        except subprocess.TimeoutExpired:
+            log({"step": step, "ok": False,
+                 "err": "timeout 1700s (compile still in flight?)"})
 
 
 if __name__ == "__main__":

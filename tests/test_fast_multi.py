@@ -1,0 +1,112 @@
+"""Multi-instance depth-1 megapass (trace_image_fast_multi): must be
+bit-equal to the looped tracer on its contract (max_depth == 1, no area
+lights) on brute and Pallas-interpret intersectors, single- and
+multi-mesh, with and without the instance tree."""
+
+import os
+
+import numpy as np
+import jax
+
+from gravit_tpu.core.math3d import mat4_translate_scale
+from gravit_tpu.render.scene_build import Instance, build_scene
+from gravit_tpu.render.tracer import (make_arena, trace_image,
+                                      trace_image_fast_multi)
+from gravit_tpu.scene.camera import PerspectiveCamera
+from gravit_tpu.scene.light import ambient_light, point_light
+
+import scenes
+
+
+def _cube_row(lights, w=32, h=32, n_cubes=5):
+    meshes = [scenes.cube_mesh(), scenes.cone_mesh()]
+    instances = [
+        Instance(mesh_id=k % 2,
+                 m=mat4_translate_scale((0.0, 0.0, -2.0 + k),
+                                        (0.45, 0.45, 0.45)))
+        for k in range(n_cubes)
+    ]
+    scene = build_scene(meshes, instances, lights)
+    cam = PerspectiveCamera(
+        eye=(4.5, 0.3, 0.0), focus=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0),
+        fov=float(55 * np.pi / 180), film_width=w, film_height=h,
+        samples=1, max_depth=1, jitter_window=0.5)
+    return meshes, scene, cam
+
+
+def _assert_equal(scene, cam, accel=None, w=32, h=32, atol=0.0, **kw):
+    rays = cam.generate_rays()
+    arena = make_arena(rays, scene.num_lights)
+    fb_l = trace_image(scene, arena, w, h, max_rounds=64, accel=accel)
+    fb_f = trace_image_fast_multi(scene, rays, w, h, accel=accel, **kw)
+    if atol:
+        np.testing.assert_allclose(np.asarray(fb_l)[:, :3],
+                                   np.asarray(fb_f)[:, :3], atol=atol)
+    else:
+        np.testing.assert_array_equal(np.asarray(fb_l)[:, :3],
+                                      np.asarray(fb_f)[:, :3])
+
+
+def test_fast_multi_brute_point_light():
+    _, scene, cam = _cube_row(
+        [point_light((4.0, 4.0, 0.0), (1.0, 1.0, 1.0))])
+    _assert_equal(scene, cam)
+
+
+def test_fast_multi_brute_two_lights():
+    _, scene, cam = _cube_row(
+        [point_light((4.0, 4.0, 0.0), (1.0, 0.8, 0.6)),
+         ambient_light((0.1, 0.1, 0.2))])
+    _assert_equal(scene, cam)
+
+
+def test_fast_multi_accel_interpret():
+    # save/restore, don't pop: test_segment_dispatch sets this env at
+    # module-import (collection) time and its tests run after ours
+    _prev = os.environ.get("GRAVIT_PALLAS_INTERPRET")
+    os.environ["GRAVIT_PALLAS_INTERPRET"] = "1"
+    try:
+        from gravit_tpu.accel.scene_accel import build_scene_bvh
+
+        meshes, scene, cam = _cube_row(
+            [point_light((4.0, 4.0, 0.0), (1.0, 1.0, 1.0))])
+        accel = build_scene_bvh(meshes)
+        _assert_equal(scene, cam, accel=accel)
+    finally:
+        if _prev is None:
+            os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+        else:
+            os.environ["GRAVIT_PALLAS_INTERPRET"] = _prev
+
+
+def test_fast_multi_instance_tree():
+    """>= 64 instances turns on the instance BVH inside build_scene; the
+    fast path's shuffle-lite must walk the same tree."""
+    meshes = [scenes.cube_mesh()]
+    instances = [
+        Instance(mesh_id=0,
+                 m=mat4_translate_scale(
+                     (0.0, (k // 8) * 0.5 - 1.75, (k % 8) * 0.5 - 1.75),
+                     (0.2, 0.2, 0.2)))
+        for k in range(64)
+    ]
+    lights = [point_light((4.0, 4.0, 0.0), (1.0, 1.0, 1.0))]
+    scene = build_scene(meshes, instances, lights)
+    assert scene.inst_bvh is not None
+    cam = PerspectiveCamera(
+        eye=(4.5, 0.3, 0.0), focus=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0),
+        fov=float(55 * np.pi / 180), film_width=32, film_height=32,
+        samples=1, max_depth=1, jitter_window=0.5)
+    _assert_equal(scene, cam)
+
+
+def test_fast_multi_simple_scene_tiled():
+    """The SimpleApp scene, tiled (3x3 grid of 32-tiles at 96^2) and
+    row-order. At this scene size XLA's fma contraction fuses the shade
+    chain differently between the two programs on CPU — equality is to
+    1 ulp (the small-scene tests above stay bit-exact)."""
+    scene, cam = scenes.simple_scene(96, 96)
+    _assert_equal(scene, cam, w=96, h=96, atol=2e-7)
+    scene2, cam2 = scenes.simple_scene(64, 64)
+    _assert_equal(scene2, cam2, w=64, h=64, atol=2e-7)
+    _assert_equal(scene2, cam2, w=64, h=64, tile_order=False, atol=2e-7)
