@@ -29,8 +29,14 @@ _ROOT = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(_ROOT))
 # persistent compile cache: first compiles of the fused megapass programs
 # run 5-20+ min on the axon tunnel; later processes (incl. the driver's
-# bench) then load them in seconds
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_ROOT / ".jax_cache"))
+# bench) then load them in seconds. Set via config, not env — this
+# environment's sitecustomize imports jax at interpreter boot, before any
+# env var set here could be read.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 str(_ROOT / ".jax_cache")))
 
 WIDTH = HEIGHT = 512
 WARMUP = 1

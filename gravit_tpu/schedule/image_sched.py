@@ -81,11 +81,28 @@ class StreamedImageRenderer:
     in the round index.
     """
 
-    def __init__(self, meshes, instances, lights, budget_tris: int):
+    # device bytes per triangle of a built SceneData: 49 f32 per-tri
+    # attribute columns (v0/e1/e2/ng 12, ns 9, vcol 9, kd/ks/eta/k/hsc 15,
+    # alpha/rough/bs/hsf 4) + 5 i32 (mat_type, tri_mesh, faces) + 1 bool,
+    # plus ~1.5 f32 of shared vertex rows. The Pallas accel (when used)
+    # adds (12 f32 tri rows + ~2 nodes/tri x 12 words) ~= 144 B/tri.
+    BYTES_PER_TRI = 228
+    BYTES_PER_TRI_ACCEL = 144
+
+    def __init__(self, meshes, instances, lights,
+                 budget_tris: int | None = None,
+                 budget_bytes: int | None = None,
+                 use_accel: bool = False):
         import numpy as np
 
         from gravit_tpu.render.scene_build import Instance, build_scene
 
+        if budget_bytes is not None:
+            per_tri = self.BYTES_PER_TRI + (
+                self.BYTES_PER_TRI_ACCEL if use_accel else 0)
+            budget_tris = max(1, int(budget_bytes) // per_tri)
+        if budget_tris is None:
+            raise ValueError("pass budget_tris or budget_bytes")
         biggest = max(m.num_triangles for m in meshes)
         if budget_tris < biggest:
             raise ValueError(
@@ -143,12 +160,34 @@ class StreamedImageRenderer:
         self.lights_count = int(ref.num_lights)
         self._dev_cache: dict[int, SceneData] = {}
 
-    def _fetch(self, g: int) -> SceneData:
+        # per-group Pallas accel, padded to common shapes so one compiled
+        # program serves every group (partition_accel's device padding,
+        # repurposed groups-over-time)
+        self.host_accels = None
+        if use_accel:
+            from gravit_tpu.schedule.domain_sched import partition_accel
+
+            res = np.zeros((len(instances), self.num_groups), bool)
+            for i, inst_i in enumerate(instances):
+                res[i, mesh2group[inst_i.mesh_id]] = True
+            stacked = partition_accel(meshes, instances, self.num_groups,
+                                      res)
+            self.host_accels = [
+                jax.tree.map(
+                    lambda a, g=g: (np.asarray(a[g])
+                                    if hasattr(a, "dtype") else a),
+                    stacked)
+                for g in range(self.num_groups)
+            ]
+
+    def _fetch(self, g: int):
         # 2-slot cache: current + prefetched next (the double buffer)
         if g not in self._dev_cache:
-            self._dev_cache[g] = jax.tree.map(
-                lambda a: jax.device_put(a) if hasattr(a, "dtype") else a,
-                self.host_scenes[g])
+            put = lambda t: jax.tree.map(
+                lambda a: jax.device_put(a) if hasattr(a, "dtype") else a, t)
+            self._dev_cache[g] = (
+                put(self.host_scenes[g]),
+                put(self.host_accels[g]) if self.host_accels else None)
         return self._dev_cache[g]
 
     def _evict_except(self, keep: set):
@@ -163,7 +202,7 @@ class StreamedImageRenderer:
 
         arena = make_arena(camera.generate_rays(), self.lights_count)
         w, h = camera.film_width, camera.film_height
-        scene0 = self._fetch(0)
+        scene0, _ = self._fetch(0)
         arena, fb = tracer_lib._initial_shuffle(scene0, arena, w, h)
         for r in range(max_rounds):
             inst = np.asarray(arena.inst)
@@ -175,7 +214,7 @@ class StreamedImageRenderer:
                                  minlength=self.num_groups)
             ranked = np.argsort(-counts)
             g = int(ranked[0])
-            scene_g = self._fetch(g)
+            scene_g, accel_g = self._fetch(g)
             # prefetch the runner-up while g traces (async device_put)
             nxt = int(ranked[1]) if (self.num_groups > 1
                                      and counts[ranked[1]] > 0) else g
@@ -183,7 +222,7 @@ class StreamedImageRenderer:
             if nxt != g:
                 self._fetch(nxt)
             arena, fb, _ = tracer_lib._round_step(
-                scene_g, arena, fb, jnp.int32(r), w, h)
+                scene_g, arena, fb, jnp.int32(r), w, h, accel=accel_g)
         return fb
 
 

@@ -57,3 +57,43 @@ def test_budget_below_largest_mesh_rejected():
     meshes, instances, lights, cam = _scene()
     with pytest.raises(ValueError):
         StreamedImageRenderer(meshes, instances, lights, 4)
+
+
+def test_streamed_budget_bytes_and_accel():
+    """Byte budgets resolve to the same grouping as their triangle
+    equivalent, and the Pallas accel (interpret) streams per-group with
+    identical output."""
+    import os
+
+    meshes, instances, lights, cam = _scene()
+    bpt = StreamedImageRenderer.BYTES_PER_TRI
+    sr_b = StreamedImageRenderer(meshes, instances, lights,
+                                 budget_bytes=12 * bpt)
+    assert sr_b.num_groups >= 3
+    fb_bytes = sr_b.render(cam)
+
+    scene = build_scene(meshes, instances, lights)
+    arena = make_arena(cam.generate_rays(), scene.num_lights)
+    fb_full = trace_image(scene, arena, 24, 24, max_rounds=16)
+    np.testing.assert_array_equal(np.asarray(fb_full)[:, :3],
+                                  np.asarray(fb_bytes)[:, :3])
+
+    _prev = os.environ.get("GRAVIT_PALLAS_INTERPRET")
+    os.environ["GRAVIT_PALLAS_INTERPRET"] = "1"
+    try:
+        sr_a = StreamedImageRenderer(
+            meshes, instances, lights,
+            budget_bytes=12 * (StreamedImageRenderer.BYTES_PER_TRI
+                               + StreamedImageRenderer.BYTES_PER_TRI_ACCEL),
+            use_accel=True)
+        assert sr_a.num_groups >= 3
+        fb_accel = sr_a.render(cam)
+        # accel vs brute carries the known ulp-level kernel fma-order
+        # skew (verify recipe: max |d| ~1.8e-7); not a streaming effect
+        np.testing.assert_allclose(np.asarray(fb_full)[:, :3],
+                                   np.asarray(fb_accel)[:, :3], atol=1e-6)
+    finally:
+        if _prev is None:
+            os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+        else:
+            os.environ["GRAVIT_PALLAS_INTERPRET"] = _prev

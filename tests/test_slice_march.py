@@ -167,3 +167,16 @@ def test_fast_path_instance_transform():
     # sample ladders diverge most at silhouette pixels (march: arc steps of
     # step*|d|; slice: fixed planes) — mean stays tight, max is edge noise
     assert err.mean() < 3e-3 and err.max() < 0.2, (err.mean(), err.max())
+
+
+def test_slab_streaming_matches_single():
+    """Forcing tiny slabs (4 rows per window) must match the whole-brick
+    dispatch to 1 ulp: same plane positions, same weights, color/w carried
+    across windows (XLA fuses the while_loop variant differently)."""
+    _, _, _, args, meta = _setup()
+    c_k, w_k, f_k = slice_march(*args, interpret=True, **meta)
+    c_s, w_s, f_s = slice_march(*args, interpret=True,
+                                slab_bytes=16 * 1024, **meta)
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_k), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_k), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_k))
