@@ -144,7 +144,7 @@ class Renderer:
                     camera.film_height, jmesh)
             else:
                 from gravit_tpu.render.volume_tracer import (
-                    can_slice_march, trace_volume_fast)
+                    can_slice_march, slice_axes_for, trace_volume_fast)
 
                 rays = camera.generate_rays(volume=True)
                 ok, axis, flip = can_slice_march(scene, rays.direction)
@@ -156,8 +156,22 @@ class Renderer:
                                            camera.film_height,
                                            axis=axis, flip=flip)
                 else:
-                    fb = trace_volume(scene, arena, camera.film_width,
-                                      camera.film_height)
+                    # multi-brick / featureful: the wavefront tracer, with
+                    # the slice engine serving each qualifying brick
+                    # (march_round slice_axes) and the gather march the
+                    # rest — the volume analog of the fast adapter running
+                    # under every scheduler
+                    import os
+
+                    interp = (os.environ.get("GRAVIT_PALLAS_INTERPRET",
+                                             "0") == "1"
+                              or jax.default_backend() not in
+                              ("tpu", "axon"))
+                    fb = trace_volume(
+                        scene, arena, camera.film_width,
+                        camera.film_height,
+                        slice_axes=slice_axes_for(scene, rays.direction),
+                        slice_interpret=interp)
             self._fb[name] = fb
             return
 

@@ -71,12 +71,20 @@ def filter_initial(scene: VolumeSceneData, arena: RayArena) -> RayArena:
 
 
 def march_round(scene: VolumeSceneData, arena: RayArena,
-                differentiable: bool = False):
+                differentiable: bool = False, slice_axes: tuple = (),
+                slice_interpret: bool = False):
     """Phase 1: march all queued rays through their bricks (per-volume
     passes, statically unrolled; rays of other volumes are masked).
 
     Rays whose instance has no LOCAL brick data (inst_vol == -1 under the
     domain scheduler) park untouched until the all_to_all migrates them.
+
+    slice_axes: optional static per-volume tuple of (axis, flip) | None.
+    A volume with an entry marches through the slice-order MXU engine
+    (ops/slice_march.py) instead of the gather march — the same engine-
+    under-every-tracer property the reference's fast adapter has
+    (EmbreeMeshAdapter under each scheduler). Entries must be None for
+    AMR/iso/slice volumes (slice_axes_for computes this).
     """
     safe_inst = jnp.clip(arena.inst, 0, scene.num_instances - 1)
     vol_of_ray = scene.inst_vol[safe_inst]
@@ -89,20 +97,39 @@ def march_round(scene: VolumeSceneData, arena: RayArena,
     color, w, depth = arena.color, arena.w, arena.depth
     for v in range(scene.num_volumes):
         mask = queued & (vol_of_ray == v)
-        c2, w2, flags = march_brick(
-            o_obj, d_obj, mask, color, w,
-            scene.vol_samples[v], scene.vol_origin[v], scene.vol_spacing[v],
-            scene.vol_lo[v], scene.vol_hi[v],
-            scene.vol_color_lut[v], scene.vol_opacity_lut[v],
-            scene.vol_vrange[v],
-            scene.vol_step[v], scene.vol_max_steps[v],
-            subgrids=(scene.vol_subgrids[v]
-                      if v < len(scene.vol_subgrids) else ()),
-            isovalues=(scene.vol_isovalues[v]
-                       if v < len(scene.vol_isovalues) else ()),
-            slices=(scene.vol_slices[v]
-                    if v < len(scene.vol_slices) else ()),
-            early_exit=not differentiable)
+        use_slice = (not differentiable and v < len(slice_axes)
+                     and slice_axes[v] is not None
+                     and v < len(scene.vol_meta))
+        if use_slice:
+            from gravit_tpu.ops.slice_march import slice_march
+
+            axis, flip = slice_axes[v]
+            origin, spacing, (low, high) = scene.vol_meta[v]
+            c2, w2, flags = slice_march(
+                o_obj, d_obj, mask, color, w,
+                scene.vol_samples[v], scene.vol_color_lut[v],
+                scene.vol_opacity_lut[v],
+                axis=int(axis), flip=bool(flip),
+                step=float(scene.vol_step[v]),
+                base_step=float(min(spacing)), low=low, high=high,
+                origin=tuple(origin), spacing=tuple(spacing),
+                interpret=slice_interpret)
+        else:
+            c2, w2, flags = march_brick(
+                o_obj, d_obj, mask, color, w,
+                scene.vol_samples[v], scene.vol_origin[v],
+                scene.vol_spacing[v],
+                scene.vol_lo[v], scene.vol_hi[v],
+                scene.vol_color_lut[v], scene.vol_opacity_lut[v],
+                scene.vol_vrange[v],
+                scene.vol_step[v], scene.vol_max_steps[v],
+                subgrids=(scene.vol_subgrids[v]
+                          if v < len(scene.vol_subgrids) else ()),
+                isovalues=(scene.vol_isovalues[v]
+                           if v < len(scene.vol_isovalues) else ()),
+                slices=(scene.vol_slices[v]
+                        if v < len(scene.vol_slices) else ()),
+                early_exit=not differentiable)
         color = jnp.where(mask[:, None], c2, color)
         w = jnp.where(mask, w2, w)
         depth = jnp.where(mask, flags, depth)
@@ -283,16 +310,46 @@ def _trace_volume_fast_jit(scene: VolumeSceneData, rays: RayArena,
     return image_lib.clamp_rgb(fb)
 
 
+def slice_axes_for(scene: VolumeSceneData, directions) -> tuple:
+    """Static per-volume (axis, flip) | None tuple for march_round's
+    slice_axes: a volume qualifies when it has no AMR/iso/slice features
+    and every ray keeps |d_axis| >= MIN_AXIS_COMPONENT. Computed host-side
+    once per camera (directions is a host (N, 3) array)."""
+    import numpy as np
+
+    from gravit_tpu.ops.slice_march import (MIN_AXIS_COMPONENT,
+                                            choose_slice_axis)
+
+    if not scene.vol_meta:
+        return ()
+    d = np.asarray(directions, np.float64)
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
+    axis, flip = choose_slice_axis(d.mean(axis=0))
+    ok_dir = np.abs(d[:, axis]).min() >= MIN_AXIS_COMPONENT
+    out = []
+    for v in range(scene.num_volumes):
+        feature = ((scene.vol_subgrids and v < len(scene.vol_subgrids)
+                    and scene.vol_subgrids[v])
+                   or (scene.vol_isovalues and scene.vol_isovalues[v])
+                   or (scene.vol_slices and scene.vol_slices[v]))
+        out.append(None if (feature or not ok_dir) else (axis, flip))
+    return tuple(out)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_rounds",
-                                             "unroll"))
+                                             "unroll", "slice_axes",
+                                             "slice_interpret"))
 def trace_volume(scene: VolumeSceneData, arena: RayArena, width: int,
                  height: int, max_rounds: int = 64,
-                 unroll: bool = False) -> jax.Array:
+                 unroll: bool = False, slice_axes: tuple = (),
+                 slice_interpret: bool = False) -> jax.Array:
     fb = image_lib.new_framebuffer(width, height)
     arena = filter_initial(scene, arena)
 
     def round_fn(arena, fb):
-        arena = march_round(scene, arena, differentiable=unroll)
+        arena = march_round(scene, arena, differentiable=unroll,
+                            slice_axes=slice_axes,
+                            slice_interpret=slice_interpret)
         return shuffle_volume(scene, arena, fb)
 
     if unroll:

@@ -180,3 +180,43 @@ def test_slab_streaming_matches_single():
     np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_k), atol=1e-6)
     np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_k), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_k))
+
+
+def test_multibrick_slice_axes():
+    """The slice engine under the wavefront volume tracer (march_round
+    slice_axes): a 2-brick scene must agree with the gather-march tracer
+    at image tolerance, and AMR bricks in the same scene keep the march
+    (slice_axes_for yields None for them)."""
+    from gravit_tpu.render.tracer import make_arena
+    from gravit_tpu.render.volume_scene import build_volume_scene
+    from gravit_tpu.render.volume_tracer import (slice_axes_for,
+                                                 trace_volume)
+    from test_volume_domain import _bricked_wavelet
+
+    n, w, h = 32, 24, 24
+    bricks = _bricked_wavelet(n)
+    eye = np.eye(4, dtype=np.float32)
+    scene = build_volume_scene(bricks, [(0, eye), (1, eye)])
+    cam = PerspectiveCamera(
+        eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=((n - 1) / 2,) * 3,
+        up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
+        film_width=w, film_height=h, samples=1, max_depth=1,
+        jitter_window=0.0)
+    rays = cam.generate_rays(volume=True)
+    saxes = slice_axes_for(scene, rays.direction)
+    assert all(a is not None for a in saxes)
+    arena = make_arena(rays, 0)
+    fb_m = np.asarray(trace_volume(scene, arena, w, h, max_rounds=8))
+    fb_s = np.asarray(trace_volume(scene, arena, w, h, max_rounds=8,
+                                   slice_axes=saxes, slice_interpret=True))
+    err = np.abs(fb_s[:, :3] - fb_m[:, :3])
+    assert err.mean() < 3e-3 and err.max() < 0.06, (err.mean(), err.max())
+
+    # an AMR volume in the scene gates to the march
+    amr = _bricked_wavelet(n)
+    sub = wavelet_volume(8)
+    sub.level = 1
+    amr[0].subgrids.append(sub)
+    scene_amr = build_volume_scene(amr, [(0, eye), (1, eye)])
+    saxes_amr = slice_axes_for(scene_amr, rays.direction)
+    assert saxes_amr[0] is None and saxes_amr[1] is not None
