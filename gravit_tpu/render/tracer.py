@@ -268,27 +268,48 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
     shadow_key = (jnp.zeros((n,), jnp.int32) if is_shadow is None
                   else is_shadow.astype(jnp.int32))
     key = jnp.where(queued, ray_mesh * 2 + shadow_key, jnp.int32(S))
-    perm = jnp.argsort(key, stable=True)         # sorted pos -> arena lane
-    key_s = key[perm]
-
-    cnt = jnp.bincount(key, length=S + 1)        # per-segment live counts
-    padded_cnt = ((cnt[:S] + PACKET - 1) // PACKET) * PACKET
-    zero1 = jnp.zeros((1,), cnt.dtype)
-    off_pad = jnp.concatenate([zero1, jnp.cumsum(padded_cnt)])  # (S+1,)
-    off_raw = jnp.concatenate([zero1, jnp.cumsum(cnt[:S])])     # (S+1,)
-    # sorted position i in segment s lands at off_pad[s] + (i - off_raw[s]);
-    # the dead bucket (s == S) packs right after the last aligned segment
-    shift = (off_pad - off_raw)[key_s]
-    dest = jnp.arange(n) + shift                 # sorted pos -> padded lane
-
     n_pad = n + S * PACKET                       # worst-case alignment waste
-    # place rows by composed-index GATHER: scatter only the int32 inverse
-    # (padded lane -> sorted pos); row scatters are ~5x dearer than gathers
-    # on v5e (scripts/micro_tpu5.py)
-    pos_of_pad = jnp.full((n_pad,), n, jnp.int32).at[dest].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    lane_of_pad = jnp.where(
-        pos_of_pad < n, perm[jnp.clip(pos_of_pad, 0, n - 1)], n)
+
+    if S + 1 <= 16:
+        # small segment counts: ONE-HOT PREFIX RANKS instead of a stable
+        # argsort — sorts cost ~10x a cumsum at arena width on v5e
+        # (micro_tpu4.py; the same construction as _pack_exchange). The
+        # rank within a segment preserves lane order, which is exactly
+        # what the stable sort produced — results are identical.
+        onehot = jax.nn.one_hot(key, S + 1, dtype=jnp.int32)
+        rank = jnp.cumsum(onehot, axis=0) - onehot   # exclusive per segment
+        my_rank = jnp.sum(rank * onehot, axis=1)
+        cnt = rank[-1] + onehot[-1]                  # (S+1,) totals
+        padded_cnt = ((cnt[:S] + PACKET - 1) // PACKET) * PACKET
+        zero1 = jnp.zeros((1,), cnt.dtype)
+        off_pad = jnp.concatenate([zero1, jnp.cumsum(padded_cnt)])  # (S+1,)
+        dest = off_pad[key] + my_rank                # arena lane -> padded
+        lane_of_pad = jnp.full((n_pad,), n, jnp.int32).at[dest].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+    else:
+        perm = jnp.argsort(key, stable=True)     # sorted pos -> arena lane
+        key_s = key[perm]
+
+        cnt = jnp.bincount(key, length=S + 1)    # per-segment live counts
+        padded_cnt = ((cnt[:S] + PACKET - 1) // PACKET) * PACKET
+        zero1 = jnp.zeros((1,), cnt.dtype)
+        off_pad = jnp.concatenate([zero1, jnp.cumsum(padded_cnt)])  # (S+1,)
+        off_raw = jnp.concatenate([zero1, jnp.cumsum(cnt[:S])])     # (S+1,)
+        # sorted position i in segment s lands at off_pad[s] + (i -
+        # off_raw[s]); the dead bucket (s == S) packs right after the last
+        # aligned segment
+        shift = (off_pad - off_raw)[key_s]
+        dest_sorted = jnp.arange(n) + shift      # sorted pos -> padded lane
+        # place rows by composed-index GATHER: scatter only the int32
+        # inverse (padded lane -> sorted pos); row scatters are ~5x dearer
+        # than gathers on v5e (scripts/micro_tpu5.py)
+        pos_of_pad = jnp.full((n_pad,), n, jnp.int32).at[dest_sorted].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        lane_of_pad = jnp.where(
+            pos_of_pad < n, perm[jnp.clip(pos_of_pad, 0, n - 1)], n)
+        # arena lane -> padded lane (for the unsort gather below)
+        dest = jnp.zeros((n,), jnp.int32).at[perm].set(
+            dest_sorted.astype(jnp.int32))
     packed = jnp.concatenate([
         o_obj, d_obj, queued.astype(jnp.float32)[:, None],
     ], axis=1)
@@ -319,12 +340,9 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
         u = jnp.where(lane_shadow, u2, u)
         v = jnp.where(lane_shadow, v2, v)
 
-    # unsort by composed-index gather: pad_of_lane[arena lane] = padded lane
-    # (one int32 scatter over the full permutation), then gather results
-    pad_of_lane = jnp.zeros((n,), jnp.int32).at[perm].set(
-        dest.astype(jnp.int32))
-    hpack = jnp.stack([t, u, v], axis=1)[pad_of_lane]
-    hprim = prim[pad_of_lane]
+    # unsort by composed-index gather: dest[arena lane] = padded lane
+    hpack = jnp.stack([t, u, v], axis=1)[dest]
+    hprim = prim[dest]
     miss = ~queued | (hpack[:, 0] >= FLT_MAX)
     return Hit(t=jnp.where(miss, FLT_MAX, hpack[:, 0]),
                prim=jnp.where(miss, -1, hprim),

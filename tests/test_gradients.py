@@ -137,3 +137,49 @@ def test_volume_grad_wrt_samples():
     eps = 1e-2
     fd = (f(s + eps * d) - f(s - eps * d)) / (2 * eps)
     np.testing.assert_allclose(float(jnp.vdot(g, d)), float(fd), rtol=0.1)
+
+
+def test_slice_march_reference_grads():
+    """The slice engine's jnp twin is the differentiable volume fast
+    path: gradients of the image wrt brick samples AND the TF LUTs match
+    central finite differences."""
+    from gravit_tpu.ops.slice_march import (choose_slice_axis,
+                                            slice_march_reference)
+
+    n = 12
+    vol = wavelet_volume(n)
+    cam = PerspectiveCamera(eye=(4.0 * n,) * 3,
+                            focus=((n - 1) / 2,) * 3,
+                            up=(0.0, 0.0, 1.0), fov=np.pi / 6,
+                            film_width=8, film_height=8)
+    rays = cam.generate_rays(volume=True)
+    N = rays.origin.shape[0]
+    axis, flip = choose_slice_axis(np.asarray(rays.direction).mean(0))
+    meta = dict(axis=axis, flip=flip, step=float(vol.step_size()),
+                base_step=float(vol.spacing.min()),
+                low=float(vol.tf.low), high=float(vol.tf.high),
+                origin=tuple(float(x) for x in vol.origin),
+                spacing=tuple(float(x) for x in vol.spacing))
+    S0 = jnp.asarray(vol.samples)
+    cl0 = jnp.asarray(vol.tf.color_lut)
+    ol = jnp.asarray(vol.tf.opacity_lut)
+
+    def f(S, cl):
+        c, w, _ = slice_march_reference(
+            rays.origin, rays.direction, jnp.ones((N,), bool),
+            jnp.zeros((N, 3)), jnp.zeros((N,)), S, cl, ol, **meta)
+        return jnp.sum(c * w[:, None])
+
+    g_s, g_c = jax.grad(f, argnums=(0, 1))(S0, cl0)
+    assert np.isfinite(np.asarray(g_s)).all()
+    assert float(jnp.abs(g_s).sum()) > 0 and float(jnp.abs(g_c).sum()) > 0
+    key = jax.random.key(3)
+    dS = jax.random.normal(key, S0.shape)
+    eps = 1e-2
+    fd = (f(S0 + eps * dS, cl0) - f(S0 - eps * dS, cl0)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g_s, dS)), float(fd),
+                               rtol=0.1)
+    dC = jax.random.normal(jax.random.key(4), cl0.shape)
+    fdc = (f(S0, cl0 + eps * dC) - f(S0, cl0 - eps * dC)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g_c, dC)), float(fdc),
+                               rtol=0.1)
