@@ -122,10 +122,18 @@ def shuffle(scene: SceneData, arena: RayArena, fb: jax.Array,
 
     # retire rays with nowhere to go
     retire = pending & ~found
-    is_shadow = arena.type == int(RayType.SHADOW)
-    deposit = retire & is_shadow & (jnp.sum(arena.color**2, axis=-1) > 0.0)
-    fb = image_lib.local_add(fb, arena.id, arena.color * arena.w[:, None],
-                             jnp.ones_like(arena.w), deposit)
+    if not initial:
+        is_shadow = arena.type == int(RayType.SHADOW)
+        deposit = retire & is_shadow & (
+            jnp.sum(arena.color**2, axis=-1) > 0.0)
+        fb = image_lib.local_add(fb, arena.id,
+                                 arena.color * arena.w[:, None],
+                                 jnp.ones_like(arena.w), deposit)
+    # initial=True: the wavefront is all-PRIMARY by construction (camera
+    # generation; FilterRaysLocally likewise sees no shadows,
+    # ImageTracer.h:111-125) — the masked deposit would be a guaranteed
+    # no-op, but its full-width framebuffer scatter still costs ~10 ms at
+    # 512^2 on v5e, so it is skipped outright
     new_active = arena.active & ~retire
 
     return arena.replace(origin=new_origin, inst=new_inst,
@@ -453,11 +461,17 @@ def trace_round(scene: SceneData, arena: RayArena, fb: jax.Array,
 
 
 def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
-                          hit, mask: jax.Array, round_idx):
+                          hit, mask: jax.Array, round_idx,
+                          no_bounce: bool = False):
     """Hit shading: EmbreeMeshAdapter.cpp:484-607, fully vectorized.
 
     Returns updated (arena, fb, spawn) where `spawn` is a dict of (N*L)-lane
     shadow-ray candidates with a validity mask.
+
+    no_bounce=True statically removes the Russian-roulette block: on
+    depth-1 wavefronts (the fast paths' contract) `depth-1 > 0` is false
+    on every lane, so the bounce is a guaranteed no-op — but its cosine-
+    hemisphere transcendentals and hashes would still run at full width.
     """
     n = arena.capacity
     prim = jnp.clip(hit.prim, 0, scene.num_triangles - 1)
@@ -565,24 +579,27 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         ], axis=1))
 
     # ---- Russian-roulette secondary bounce (cpp:577-607) ------------------
-    ndepth = arena.depth - 1
-    p = 1.0 - hash_uniform(arena.id, 991, rng_extra)
-    bounce = mask & (ndepth > 0) & (w_now > p)
-    t_sec = (1.0 - 16.0 * jnp.finfo(jnp.float32).eps) * t_hit
-    xi = hash_uniform2(arena.id, 992, rng_extra)
-    new_dir = _cosine_hemisphere(normal, xi)
-    new_origin = arena.origin + arena.direction * t_sec[:, None]
-    new_w = w_now * jnp.sum(new_dir * normal, axis=-1)
+    if no_bounce:
+        arena = arena.replace(active=arena.active & ~mask)
+    else:
+        ndepth = arena.depth - 1
+        p = 1.0 - hash_uniform(arena.id, 991, rng_extra)
+        bounce = mask & (ndepth > 0) & (w_now > p)
+        t_sec = (1.0 - 16.0 * jnp.finfo(jnp.float32).eps) * t_hit
+        xi = hash_uniform2(arena.id, 992, rng_extra)
+        new_dir = _cosine_hemisphere(normal, xi)
+        new_origin = arena.origin + arena.direction * t_sec[:, None]
+        new_w = w_now * jnp.sum(new_dir * normal, axis=-1)
 
-    arena = arena.replace(
-        origin=jnp.where(bounce[:, None], new_origin, arena.origin),
-        direction=jnp.where(bounce[:, None], new_dir, arena.direction),
-        w=jnp.where(bounce, new_w, w_now),
-        depth=jnp.where(bounce, ndepth, arena.depth),
-        type=jnp.where(bounce, int(RayType.SECONDARY), arena.type),
-        # terminated hits die; bouncing rays stay queued in the same instance
-        active=arena.active & (~mask | bounce),
-    )
+        arena = arena.replace(
+            origin=jnp.where(bounce[:, None], new_origin, arena.origin),
+            direction=jnp.where(bounce[:, None], new_dir, arena.direction),
+            w=jnp.where(bounce, new_w, w_now),
+            depth=jnp.where(bounce, ndepth, arena.depth),
+            type=jnp.where(bounce, int(RayType.SECONDARY), arena.type),
+            # terminated hits die; bouncing rays stay queued in place
+            active=arena.active & (~mask | bounce),
+        )
     spawn = (jnp.concatenate(spawn_rows, axis=0) if spawn_rows
              else jnp.zeros((0, 16), jnp.float32))
     return arena, fb, spawn
@@ -966,7 +983,7 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
     resolved = hit.prim >= 0
     arena = arena.replace(active=resolved)
     arena, fb, spawn = _process_surface_hits(
-        scene, arena, fb, hit, resolved, jnp.int32(0))
+        scene, arena, fb, hit, resolved, jnp.int32(0), no_bounce=True)
 
     # ---- phase C: shadow any-hit resolution on the dense spawn matrix ----
     # Same two-stage shape as phase A: full width while > m//8 rows live,
@@ -1135,7 +1152,7 @@ def trace_image_fast(scene: SceneData, rays: RayArena, width: int,
             tile=_choose_tile(scene.num_triangles))
     surf_hits = queued & (hit.prim >= 0)
     arena, fb, spawn = _process_surface_hits(
-        scene, arena, fb, hit, surf_hits, jnp.int32(0))
+        scene, arena, fb, hit, surf_hits, jnp.int32(0), no_bounce=True)
 
     # phase 2: occlusion-test the spawn matrix IN PLACE — its (light, lane)
     # layout is already dense, so no free-lane scatter is needed. Shadow
