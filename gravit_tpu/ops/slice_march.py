@@ -111,9 +111,9 @@ def _arc_correction(d_obj, spacing, axis: int, step: float, base: float):
 # jnp reference twin (validation, interpret fallback, gradients)
 
 def _apply_tf_formula(color_lut, opacity_lut, low, high, s):
-    """The exact apply_tf math (scene/transfer.py:73-92) inlined with
-    static range; returns (rgb (..., 3), a (...))."""
-    x = (s - low) / max(high - low, 1e-30)
+    """The exact apply_tf math (scene/transfer.py:73-92) inlined;
+    returns (rgb (..., 3), a (...)). low/high may be traced scalars."""
+    x = (s - low) / jnp.maximum(high - low, 1e-30)
     x = jnp.clip(x, 0.0, 1.0) * 255.0
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, 254)
     frac = (x - i0)[..., None]
@@ -123,15 +123,19 @@ def _apply_tf_formula(color_lut, opacity_lut, low, high, s):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "axis", "flip", "step", "base_step", "low", "high", "origin", "spacing"))
+    "axis", "flip", "step", "base_step", "spacing"))
 def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
                           samples, color_lut, opacity_lut,
                           *, axis: int, flip: bool, step: float,
-                          base_step: float, low: float, high: float,
-                          origin: tuple, spacing: tuple):
+                          base_step: float, low, high,
+                          origin, spacing: tuple):
     """Pure-jnp twin of the Pallas kernel: identical plane discretization,
     hat-weight bilinear, TF lerp and compositing — the validation oracle
-    (kernel vs this: tolerance ~1e-5) and the differentiable path."""
+    (kernel vs this: tolerance ~1e-5) and the differentiable path.
+
+    origin/low/high are TRACED (per-brick values under the sharded domain
+    scheduler differ per device, and an SPMD program is one trace);
+    axis/flip/step/spacing stay static (they size the plane ladder)."""
     origin_a = jnp.asarray(origin, jnp.float32)
     spacing_a = jnp.asarray(spacing, jnp.float32)
     S, w_sub, w_lane = _permute_volume(samples, axis, flip)
@@ -210,18 +214,20 @@ def _lut_lookup(tf_ref, ch: int, idx, R: int):
 
 
 def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, out_ref, *,
-                  nz: int, nS: int, nL: int, dzg: float, n_planes: int,
-                  low: float, high: float):
+                  nz: int, nS: int, nL: int, dzg: float, n_planes: int):
     """One grid step = one RAYS_PER_BLOCK block of rays (lanes-major).
 
-    slab_ref (SMEM, 2): (off, z_hi) — the z-window of grid rows S_ref
-    holds, in ABSOLUTE grid coords. Whole-brick calls pass (0, nz-1);
-    slab-streamed big bricks (slice_march's slab mode) pass each slab's
+    slab_ref (SMEM, 4): (off, z_hi, low, high) — the z-window of grid
+    rows S_ref holds in ABSOLUTE grid coords, plus the TF value range
+    (traced: per-brick under the domain scheduler). Whole-brick calls
+    pass off=0, z_hi=nz-1; slab-streamed big bricks pass each slab's
     window and carry color/w between calls. `nz` is S_ref's row count.
     """
     R = RAYS_PER_BLOCK
     off = slab_ref[0]
     z_hi = slab_ref[1]
+    low = slab_ref[2]
+    high = slab_ref[3]
     rr = ray_ref[0]                               # (12, R)
     ox, oy, oz = rr[0:1, :], rr[1:2, :], rr[2:3, :]
     dx, dy, dz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
@@ -296,7 +302,7 @@ def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, out_ref, *,
         m_b = jnp.concatenate(m_rows, axis=0)
 
         # transfer function: exact apply_tf math, LUT via lane gathers
-        x = (s_b - low) / max(high - low, 1e-30)
+        x = (s_b - low) / jnp.maximum(high - low, 1e-30)
         x = jnp.clip(x, 0.0, 1.0) * 255.0
         i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, 254)
         frac = x - i0.astype(jnp.float32)
@@ -348,11 +354,11 @@ SLAB_BYTES = 4 * 1024 * 1024
 
 
 def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
-                      n_planes, low, high, interpret):
+                      n_planes, interpret):
     R = RAYS_PER_BLOCK
     return pl.pallas_call(
         functools.partial(_slice_kernel, nz=nz, nS=nS, nL=nL, dzg=dzg,
-                          n_planes=n_planes, low=low, high=high),
+                          n_planes=n_planes),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -371,12 +377,12 @@ def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "axis", "flip", "step", "base_step", "low", "high", "origin", "spacing",
+    "axis", "flip", "step", "base_step", "spacing",
     "interpret", "slab_bytes"))
 def slice_march(o_obj, d_obj, active, color_in, w_in,
                 samples, color_lut, opacity_lut,
                 *, axis: int, flip: bool, step: float, base_step: float,
-                low: float, high: float, origin: tuple, spacing: tuple,
+                low, high, origin, spacing: tuple,
                 interpret: bool = False, slab_bytes: int = SLAB_BYTES):
     """March N rays through the whole brick.
 
@@ -417,11 +423,14 @@ def slice_march(o_obj, d_obj, active, color_in, w_in,
 
     run = functools.partial(
         _run_slice_kernel, tf_tab=tf_tab, nb=nb, nS=nS, nL=nL, dzg=dzg,
-        n_planes=n_planes, low=low, high=high, interpret=interpret)
+        n_planes=n_planes, interpret=interpret)
 
+    lowf = jnp.asarray(low, jnp.float32)
+    highf = jnp.asarray(high, jnp.float32)
     slab_rows = max(2, int(slab_bytes) // (nS * nL * 4))
     if nz <= slab_rows:
-        slab = jnp.asarray([0.0, float(nz - 1)], jnp.float32)
+        slab = jnp.stack([jnp.float32(0.0), jnp.float32(nz - 1),
+                          lowf, highf])
         out = run(fields, S=S, slab=slab, nz=nz)
     else:
         # stack overlapping z-windows: slab s covers absolute rows
@@ -442,7 +451,7 @@ def slice_march(o_obj, d_obj, active, color_in, w_in,
 
         def body(state):
             s, fld = state
-            slab = jnp.stack([offs[s], z_his[s]])
+            slab = jnp.stack([offs[s], z_his[s], lowf, highf])
             out = run(fld, S=slabs[s], slab=slab, nz=slab_rows)
             # thread color/w back into the ray fields for the next slab
             fld = fld.at[:, 8:12, :].set(out)

@@ -135,13 +135,22 @@ class Renderer:
                 name2id = {n.name: i for i, n in enumerate(vol_nodes)}
                 instances = [(name2id[n["meshRef"]], n["mat"]) for n in
                              db.group("Instances").children.values()]
+                from gravit_tpu.render.volume_tracer import slice_axes_for
+
                 jmesh = Mesh(np.array(jax.devices()).reshape(n_dev),
                              ("domains",))
                 stacked, owners = partition_volume_scene(
                     volumes, instances, n_dev)
+                import os
+                interp = (os.environ.get("GRAVIT_PALLAS_INTERPRET",
+                                         "0") == "1"
+                          or jax.default_backend() not in ("tpu", "axon"))
+                rays_v = camera.generate_rays(volume=True)
                 fb = trace_volume_domain(
                     stacked, owners, arena, camera.film_width,
-                    camera.film_height, jmesh)
+                    camera.film_height, jmesh,
+                    slice_axes=slice_axes_for(stacked, rays_v.direction),
+                    slice_interpret=interp)
             else:
                 from gravit_tpu.render.volume_tracer import (
                     can_slice_march, slice_axes_for, trace_volume_fast)

@@ -104,15 +104,18 @@ def march_round(scene: VolumeSceneData, arena: RayArena,
             from gravit_tpu.ops.slice_march import slice_march
 
             axis, flip = slice_axes[v]
-            origin, spacing, (low, high) = scene.vol_meta[v]
+            spacing = scene.vol_meta[v][1]     # static (sizes the ladder)
+            # origin and TF range ride TRACED (per-device bricks differ
+            # under the sharded domain scheduler; one SPMD trace)
             c2, w2, flags = slice_march(
                 o_obj, d_obj, mask, color, w,
                 scene.vol_samples[v], scene.vol_color_lut[v],
                 scene.vol_opacity_lut[v],
                 axis=int(axis), flip=bool(flip),
                 step=float(scene.vol_step[v]),
-                base_step=float(min(spacing)), low=low, high=high,
-                origin=tuple(origin), spacing=tuple(spacing),
+                base_step=float(min(spacing)),
+                low=scene.vol_vrange[v][0], high=scene.vol_vrange[v][1],
+                origin=scene.vol_origin[v], spacing=tuple(spacing),
                 interpret=slice_interpret)
         else:
             c2, w2, flags = march_brick(

@@ -72,16 +72,21 @@ def partition_volume_scene(volumes: Sequence[Volume],
         inst_vol = np.array(
             [g2l.get(instances[i][0], -1) if owners[i] == d else -1
              for i in range(len(instances))], np.int32)
+        # static fields must match across devices for tree.map. The slice
+        # engine needs only SPACING static (it sizes the plane ladder);
+        # origin/TF-range ride traced through vol_origin/vol_vrange. Keep
+        # a spacing-only vol_meta when spacing is uniform across bricks
+        # (the VolApp brick reader's case), else disable the slice path.
+        spacings = {tuple(float(x) for x in v.spacing) for v in volumes}
+        common = (((0.0, 0.0, 0.0), next(iter(spacings)), (0.0, 0.0)),
+                  ) * max_local if len(spacings) == 1 else ()
         sd = sd.replace(
             inst_vol=jnp.asarray(inst_vol),
             inst_lo=ref.inst_lo, inst_hi=ref.inst_hi,
             vol_step=tuple(ref.vol_step[0] for _ in range(max_local)),
             vol_max_steps=tuple(max(ref.vol_max_steps)
                                 for _ in range(max_local)),
-            # static fields must match across devices for tree.map; the
-            # slice-march fast path (which vol_meta feeds) runs only on
-            # single-brick frames, never under the domain scheduler
-            vol_meta=(),
+            vol_meta=common,
         )
         stacked_scenes.append(sd)
 
@@ -94,7 +99,14 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
                         mesh: Mesh, axis: str = "domains",
                         max_rounds: int = 32,
                         exchange_cap: int | None = None,
-                        return_stats: bool = False):
+                        return_stats: bool = False,
+                        slice_axes: tuple = (),
+                        slice_interpret: bool = False):
+    """slice_axes (static, per local-volume slot): marches qualifying
+    bricks through the slice-order MXU engine INSIDE the sharded domain
+    program — per-device brick origins/TF ranges ride traced
+    (ops/slice_march.py), so one SPMD trace serves every device. Compute
+    it with volume_tracer.slice_axes_for(scene_stacked, directions)."""
     n_dev = mesh.shape[axis]
     cap = exchange_cap or max(1024, arena.capacity // n_dev)
 
@@ -119,7 +131,9 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
 
         def round_fn(state):
             r, arena, fb, drops = state
-            arena = volume_tracer.march_round(scene_l, arena)
+            arena = volume_tracer.march_round(
+                scene_l, arena, slice_axes=slice_axes,
+                slice_interpret=slice_interpret)
             arena, fb = volume_tracer.shuffle_volume(scene_l, arena, fb)
             inst_owner = owners[jnp.clip(arena.inst, 0,
                                          owners.shape[0] - 1)]

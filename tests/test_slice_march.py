@@ -220,3 +220,41 @@ def test_multibrick_slice_axes():
     scene_amr = build_volume_scene(amr, [(0, eye), (1, eye)])
     saxes_amr = slice_axes_for(scene_amr, rays.direction)
     assert saxes_amr[0] is None and saxes_amr[1] is not None
+
+
+def test_slice_under_volume_domain():
+    """The slice engine inside the SHARDED domain program: per-device
+    brick origins/TF ranges ride traced; the 2-brick 2-device render must
+    match the gather-march domain render at image tolerance."""
+    from jax.sharding import Mesh
+
+    from gravit_tpu.render.tracer import make_arena
+    from gravit_tpu.render.volume_tracer import slice_axes_for
+    from gravit_tpu.schedule.volume_domain import (partition_volume_scene,
+                                                   trace_volume_domain)
+    from test_volume_domain import _bricked_wavelet
+
+    n, w, h = 32, 24, 24
+    bricks = _bricked_wavelet(n)
+    eye = np.eye(4, dtype=np.float32)
+    instances = [(0, eye), (1, eye)]
+    cam = PerspectiveCamera(
+        eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=((n - 1) / 2,) * 3,
+        up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
+        film_width=w, film_height=h, samples=1, max_depth=1,
+        jitter_window=0.0)
+    rays = cam.generate_rays(volume=True)
+    arena = make_arena(rays, 0)
+    jmesh = Mesh(np.array(jax.devices()[:2]), ("domains",))
+    stacked, owners = partition_volume_scene(bricks, instances, 2)
+    saxes = slice_axes_for(stacked, rays.direction)
+    assert saxes and all(a is not None for a in saxes), saxes
+    fb_m = np.asarray(trace_volume_domain(stacked, owners, arena, w, h,
+                                          jmesh, max_rounds=8))
+    fb_s = np.asarray(trace_volume_domain(stacked, owners, arena, w, h,
+                                          jmesh, max_rounds=8,
+                                          slice_axes=saxes,
+                                          slice_interpret=True))
+    err = np.abs(fb_s[:, :3] - fb_m[:, :3])
+    assert err.mean() < 3e-3 and err.max() < 0.06, (err.mean(), err.max())
+    assert (fb_s[:, :3].sum(-1) > 0).sum() > 20
