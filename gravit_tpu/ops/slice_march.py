@@ -33,7 +33,6 @@ bit-faithful jnp twin of the kernel used for validation and gradients.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -49,10 +48,6 @@ BIG = 1e30
 # minimum |d_axis| (unit d) for the slice formulation to be well-
 # conditioned; callers fall back to the gather march below this
 MIN_AXIS_COMPONENT = 0.25
-
-
-def _default_interpret() -> bool:
-    return os.environ.get("GRAVIT_PALLAS_INTERPRET", "0") == "1"
 
 
 def choose_slice_axis(d_mean) -> tuple[int, bool]:
