@@ -179,19 +179,54 @@ def shuffle_volume(scene: VolumeSceneData, arena: RayArena, fb: jax.Array):
                          active=arena.active & ~retire), fb
 
 
-def can_slice_march(scene: VolumeSceneData, directions) -> tuple:
-    """(ok, axis, flip): whether the slice-march fast path applies.
-
-    Requires one volume in one instance, no AMR/iso/slice features (those
-    keep the gather march), and every ray within the dominant-axis cone
-    (|d_axis| >= MIN_AXIS_COMPONENT) so the plane parametrization is
-    well-conditioned. `directions` is a host-side (N, 3) array.
-    """
+def _slice_gate(minv_list, directions) -> tuple:
+    """Object-space slice-path gate shared by can_slice_march /
+    slice_axes_for. slice_march marches OBJECT-space rays
+    (d_obj = inst_minv @ d), so the dominant-axis / conditioning checks
+    must run on d_obj: a rotated instance transform can drive the
+    object-space |d_axis| to ~0 while the world-space check passes
+    (round-4 advisor finding), making safe_inv blow up and the brick
+    render empty. Requires, for EVERY instance in minv_list:
+      - one common (axis, flip) chosen from the object-space mean,
+      - |d_obj_axis| >= MIN_AXIS_COMPONENT on the normalized direction
+        (plane parametrization well-conditioned),
+      - all d_obj[:, axis] sharing one sign consistent with the flip —
+        a ray opposing the flip would march the fixed ascending plane
+        ladder back-to-front and composite in the wrong order.
+    Returns (ok, axis, flip)."""
     import numpy as np
 
     from gravit_tpu.ops.slice_march import (MIN_AXIS_COMPONENT,
                                             choose_slice_axis)
 
+    d = np.asarray(directions, np.float64)
+    axis, flip = 0, False
+    for j, minv in enumerate(minv_list):
+        m3 = np.asarray(minv, np.float64)[:3, :3]
+        d_obj = d @ m3.T
+        dn = d_obj / np.maximum(
+            np.linalg.norm(d_obj, axis=-1, keepdims=True), 1e-30)
+        a, f = choose_slice_axis(dn.mean(axis=0))
+        if j == 0:
+            axis, flip = a, f
+        elif (a, f) != (axis, flip):
+            return False, axis, flip
+        da = dn[:, axis]
+        if np.abs(da).min() < MIN_AXIS_COMPONENT:
+            return False, axis, flip
+        if (da.max() > 0.0) if flip else (da.min() < 0.0):
+            return False, axis, flip
+    return True, axis, flip
+
+
+def can_slice_march(scene: VolumeSceneData, directions) -> tuple:
+    """(ok, axis, flip): whether the slice-march fast path applies.
+
+    Requires one volume in one instance, no AMR/iso/slice features (those
+    keep the gather march), and every OBJECT-space ray within the
+    dominant-axis cone with one consistent sign (see _slice_gate).
+    `directions` is a host-side (N, 3) array of world directions.
+    """
     if scene.num_volumes != 1 or scene.num_instances != 1:
         return False, 0, False
     if scene.vol_subgrids and scene.vol_subgrids[0]:
@@ -202,12 +237,7 @@ def can_slice_march(scene: VolumeSceneData, directions) -> tuple:
         return False, 0, False
     if not scene.vol_meta:
         return False, 0, False
-    d = np.asarray(directions, np.float64)
-    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
-    axis, flip = choose_slice_axis(d.mean(axis=0))
-    if np.abs(d[:, axis]).min() < MIN_AXIS_COMPONENT:
-        return False, axis, flip
-    return True, axis, flip
+    return _slice_gate([scene.inst_minv[0]], directions)
 
 
 def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
@@ -247,7 +277,10 @@ def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
                      or jax.default_backend() not in ("tpu", "axon"))
 
     if axis is None or flip is None:
-        d_mean = np.asarray(rays.direction).mean(axis=0)
+        # axis/flip come from the OBJECT-space mean (the frame slice_march
+        # actually marches in) — see _slice_gate
+        m3 = np.asarray(scene.inst_minv[0], np.float64)[:3, :3]
+        d_mean = (np.asarray(rays.direction, np.float64) @ m3.T).mean(axis=0)
         axis, flip = sm.choose_slice_axis(d_mean)
 
     origin, spacing, (low, high) = scene.vol_meta[0]
@@ -316,26 +349,37 @@ def _trace_volume_fast_jit(scene: VolumeSceneData, rays: RayArena,
 def slice_axes_for(scene: VolumeSceneData, directions) -> tuple:
     """Static per-volume (axis, flip) | None tuple for march_round's
     slice_axes: a volume qualifies when it has no AMR/iso/slice features
-    and every ray keeps |d_axis| >= MIN_AXIS_COMPONENT. Computed host-side
-    once per camera (directions is a host (N, 3) array)."""
+    and every OBJECT-space ray, for EVERY instance referencing it, passes
+    the dominant-axis gate (_slice_gate — object-space, sign-consistent).
+    Computed host-side once per camera (directions is a host (N, 3)
+    array). Accepts both a flat scene and the stacked per-device scene
+    from partition_volume_scene (leading device axis on array leaves;
+    transforms are identical across devices, inst_vol marks foreign
+    instances with -1)."""
     import numpy as np
-
-    from gravit_tpu.ops.slice_march import (MIN_AXIS_COMPONENT,
-                                            choose_slice_axis)
 
     if not scene.vol_meta:
         return ()
-    d = np.asarray(directions, np.float64)
-    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
-    axis, flip = choose_slice_axis(d.mean(axis=0))
-    ok_dir = np.abs(d[:, axis]).min() >= MIN_AXIS_COMPONENT
+    iv = np.asarray(scene.inst_vol)
+    minv = np.asarray(scene.inst_minv)
+    if minv.ndim == 4:                     # stacked: (n_dev, I, 4, 4)
+        minv = minv[0]
+        uses = [(iv == v).any(axis=0) for v in range(scene.num_volumes)]
+    else:
+        uses = [iv == v for v in range(scene.num_volumes)]
     out = []
     for v in range(scene.num_volumes):
-        feature = ((scene.vol_subgrids and v < len(scene.vol_subgrids)
-                    and scene.vol_subgrids[v])
-                   or (scene.vol_isovalues and scene.vol_isovalues[v])
-                   or (scene.vol_slices and scene.vol_slices[v]))
-        out.append(None if (feature or not ok_dir) else (axis, flip))
+        feature = ((v < len(scene.vol_subgrids) and scene.vol_subgrids[v])
+                   or (v < len(scene.vol_isovalues)
+                       and scene.vol_isovalues[v])
+                   or (v < len(scene.vol_slices) and scene.vol_slices[v]))
+        if feature:
+            out.append(None)
+            continue
+        minvs = [minv[i] for i in np.nonzero(uses[v])[0]]
+        ok, axis, flip = _slice_gate(minvs, directions) if minvs \
+            else (False, 0, False)
+        out.append((axis, flip) if ok else None)
     return tuple(out)
 
 

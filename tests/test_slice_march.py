@@ -258,3 +258,75 @@ def test_slice_under_volume_domain():
     err = np.abs(fb_s[:, :3] - fb_m[:, :3])
     assert err.mean() < 3e-3 and err.max() < 0.06, (err.mean(), err.max())
     assert (fb_s[:, :3].sum(-1) > 0).sum() > 20
+
+
+def test_rotated_transform_object_space_gate():
+    """ADVICE r4 (high): the slice gate must run in OBJECT space. A 90-deg
+    rotation about Y maps world-z rays onto the object x-axis; the old
+    world-space gate picked axis=2 with |d_obj_z| ~ 0 and rendered the
+    volume empty. The object-space gate must pick the dominant OBJECT
+    axis and the fast path must then match the gather-march tracer."""
+    from gravit_tpu.render.tracer import make_arena
+    from gravit_tpu.render.volume_scene import build_volume_scene
+    from gravit_tpu.render.volume_tracer import (can_slice_march,
+                                                 trace_volume,
+                                                 trace_volume_fast)
+
+    n, w, h = 16, 16, 16
+    vol = wavelet_volume(n)
+    # rotate 90 deg about Y: object +x -> world -z, object +z -> world +x
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = np.array([[0.0, 0.0, 1.0],
+                          [0.0, 1.0, 0.0],
+                          [-1.0, 0.0, 0.0]], np.float32)
+    scene = build_volume_scene([vol], [(0, m)])
+    c_obj = np.full(3, (n - 1) / 2.0)
+    c = m[:3, :3] @ c_obj + m[:3, 3]
+    cam = PerspectiveCamera(
+        eye=tuple(c + np.array([0.0, 0.0, 8.0 * n])), focus=tuple(c),
+        up=(0.0, 1.0, 0.0), fov=float(30 * np.pi / 180),
+        film_width=w, film_height=h, samples=1, max_depth=1,
+        jitter_window=0.0)
+    rays = cam.generate_rays(volume=True)
+    ok, axis, flip = can_slice_march(scene, rays.direction)
+    assert ok
+    assert axis == 0, axis  # dominant OBJECT axis, not the world z
+    fb_f = np.asarray(trace_volume_fast(scene, rays, w, h,
+                                        axis=axis, flip=flip))
+    arena = make_arena(rays, 0)
+    fb_m = np.asarray(trace_volume(scene, arena, w, h, max_rounds=8))
+    err = np.abs(fb_f[:, :3] - fb_m[:, :3])
+    assert err.mean() < 3e-3 and err.max() < 0.06, (err.mean(), err.max())
+    assert (fb_f[:, :3].sum(-1) > 0).sum() > 10  # not silently empty
+
+
+def test_sign_consistency_gate():
+    """ADVICE r4 (low): rays whose d_axis sign opposes the flip would
+    composite back-to-front on the fixed plane ladder -> gate must refuse
+    even though every |d_axis| clears MIN_AXIS_COMPONENT."""
+    from gravit_tpu.render.volume_scene import build_volume_scene
+    from gravit_tpu.render.volume_tracer import can_slice_march
+
+    vol = wavelet_volume(16)
+    scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
+    d = np.tile(np.array([[0.0, 0.0, -1.0]]), (8, 1))
+    assert can_slice_march(scene, d)[0]
+    d_mixed = np.concatenate([d, np.array([[0.0, 0.0, 1.0]])])
+    assert not can_slice_march(scene, d_mixed)[0]
+
+
+def test_slice_axes_for_short_feature_tuples():
+    """ADVICE r4 (low): feature tuples shorter than num_volumes must not
+    IndexError (march_round guards with v < len(...); the gate must
+    too)."""
+    from gravit_tpu.render.volume_scene import build_volume_scene
+    from gravit_tpu.render.volume_tracer import slice_axes_for
+    from test_volume_domain import _bricked_wavelet
+
+    bricks = _bricked_wavelet(32)
+    eye = np.eye(4, dtype=np.float32)
+    scene = build_volume_scene(bricks, [(0, eye), (1, eye)])
+    short = scene.replace(vol_isovalues=((1.0,),))  # len 1 < num_volumes 2
+    d = np.tile(np.array([[0.0, 0.0, -1.0]]), (8, 1))
+    saxes = slice_axes_for(short, d)   # must not raise
+    assert saxes[0] is None and saxes[1] is not None
