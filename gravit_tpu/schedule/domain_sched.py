@@ -294,6 +294,37 @@ def _merge_incoming(arena: RayArena, incoming: RayArena):
     return jax.tree.map(put, arena, flat), dropped
 
 
+def _compact_arena(arena: RayArena, c_local: int):
+    """Prefix-compact active lanes into a fresh c_local-lane arena.
+
+    The post-claim WIDTH REDUCTION that makes per-device round work
+    O(C/n): with the arena replicated (the pre-r5 design), every device
+    paid full-C-width selects/pack/shuffle every round even though it
+    claimed only ~1/n of the rays — scripts/profile_domain.py measured
+    that as ~95% of SCALING_r04's wall-clock inflation (trace-only
+    variant: 204 -> 1792 ms from 1 -> 8 virtual devices; the exchange
+    phases were noise). Overflowing rays are dropped and counted
+    (callers regrow local_slack, same loudness protocol as the
+    exchange)."""
+    c = arena.capacity
+    act = arena.active
+    rank = jnp.cumsum(act.astype(jnp.int32)) - 1
+    overflow = act & (rank >= c_local)
+    dropped = jnp.sum(overflow.astype(jnp.int32))
+    slot = jnp.where(act & ~overflow, rank, c_local)
+    src_row = jnp.full((c_local,), c, jnp.int32).at[slot].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop")
+    written = src_row < c
+    src_safe = jnp.clip(src_row, 0, c - 1)
+
+    def take(field):
+        w = written.reshape((c_local,) + (1,) * (field.ndim - 1))
+        return jnp.where(w, field[src_safe],
+                         jnp.zeros_like(field[:c_local]))
+
+    return jax.tree.map(take, arena), dropped
+
+
 def trace_domain(scene_stacked: SceneData, owners: jax.Array,
                  arena: RayArena, width: int, height: int, mesh: Mesh,
                  axis: str = "domains", max_rounds: int = 32,
@@ -304,7 +335,8 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
                  resident: np.ndarray | None = None,
                  return_load: bool = False,
                  initial_shuffle: bool = True,
-                 return_arena: bool = False):
+                 return_arena: bool = False,
+                 local_slack: float = 2.0):
     """Run the domain-scheduled trace over the device mesh; returns fb.
 
     arena: the FULL camera wavefront, replicated (every device filters to
@@ -342,16 +374,29 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
     feed on).
 
     initial_shuffle=False resumes a PARTIAL frame (in-frame hybrid remap,
-    HybridTracer.h:223-299): `arena` is then the (n_dev*C,) stacked
+    HybridTracer.h:223-299): `arena` is then the (n_dev*C_local,) stacked
     per-device state a previous return_arena=True call produced, sharded
     back onto the devices; no camera-ray claim runs. Rays whose domain
     moved since the pause simply park one round and migrate through the
     normal exchange. return_arena=True additionally returns (stacked
     arena, per-domain pending histogram) so the caller can decide whether
     to reshard before resuming.
+
+    local_slack: each device's working arena is compacted after the
+    initial claim to ~(C/n_dev) * local_slack lanes (capped at C), so
+    per-round work scales as C/n instead of C (the SCALING_r04 fix;
+    see _compact_arena). Rays that do not fit are counted in `drops` —
+    DomainRenderer.render regrows the slack alongside the exchange cap.
     """
     n_dev = mesh.shape[axis]
     cap = exchange_cap or max(1024, arena.capacity // n_dev)
+    if initial_shuffle:
+        shard_in = arena.capacity // (mesh.shape[ray_axis] if ray_axis
+                                      else 1)
+        want = -(-int(shard_in * local_slack) // n_dev)
+        c_local = min(shard_in, max(1024, -(-want // 1024) * 1024))
+    else:
+        c_local = arena.capacity // n_dev
 
     if resident is None:
         resident = one_hot_residency(np.asarray(owners), n_dev)
@@ -363,7 +408,8 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
     fb, drops, load, arena_out_v, hist, peak = _trace_domain_jit(
         scene_stacked, route, n_rep, res, arena, accel,
         mesh=mesh, axis=axis, ray_axis=ray_axis, width=width, height=height,
-        max_rounds=max_rounds, cap=cap, initial_shuffle=initial_shuffle)
+        max_rounds=max_rounds, cap=cap, initial_shuffle=initial_shuffle,
+        c_local=c_local)
     if not return_arena:
         fb = image_lib.clamp_rgb(fb)
     out = [fb]
@@ -378,11 +424,11 @@ def trace_domain(scene_stacked: SceneData, owners: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "axis", "ray_axis", "width", "height", "max_rounds", "cap",
-    "initial_shuffle"))
+    "initial_shuffle", "c_local"))
 def _trace_domain_jit(scene_stacked, route, n_rep, res, arena, accel,
                       *, mesh: Mesh, axis: str, ray_axis, width: int,
                       height: int, max_rounds: int, cap: int,
-                      initial_shuffle: bool):
+                      initial_shuffle: bool, c_local: int):
     """The compiled core of trace_domain — ONE jitted program per config.
 
     The shard_map closure must live under an outer jit keyed on the static
@@ -420,13 +466,18 @@ def _trace_domain_jit(scene_stacked, route, n_rep, res, arena, accel,
         if initial_shuffle:
             # initial filter: assign first instances, keep rays THIS device
             # serves (shuffleDropRays, DomainTracer.h:148-183; replicas
-            # split a hot domain's primary wavefront between them)
+            # split a hot domain's primary wavefront between them), then
+            # COMPACT to the local working width so every subsequent round
+            # costs O(C/n) per device, not O(C) (_compact_arena)
             arena, fb = tracer_lib.shuffle(scene_l, arena, fb)
             claim = serving_device(arena.inst, arena.id) == me
             arena = arena.replace(
                 active=arena.active & ((arena.inst < 0) | claim))
-        # (initial_shuffle=False: the P(axis) in_spec already delivered this
-        # device's (C, ...) shard of the stacked arena — resume as-is)
+            arena, d_claim = _compact_arena(arena, c_local)
+        else:
+            # the P(axis) in_spec already delivered this device's
+            # (c_local, ...) shard of the stacked arena — resume as-is
+            d_claim = jnp.int32(0)
 
         def round_fn(state):
             r, arena, fb, drops, traced, peak = state
@@ -444,15 +495,29 @@ def _trace_domain_jit(scene_stacked, route, n_rep, res, arena, accel,
             # target domain; its destination replica is picked by pixel id
             here = res[jnp.clip(arena.inst, 0, n_inst - 1), me] > 0
             send = arena.active & (arena.inst >= 0) & ~here
-            dest = jnp.where(send, serving_device(arena.inst, arena.id), -1)
-            arena, packed, d_pack, demand = _pack_exchange(
-                arena, dest, n_dev, cap)
-            incoming = jax.tree.map(
-                lambda a: jax.lax.all_to_all(
-                    a, axis, split_axis=0, concat_axis=0, tiled=False),
-                packed)
-            arena, d_merge = _merge_incoming(arena, incoming)
-            return (r + 1, arena, fb2, drops + d_pack + d_merge, traced,
+            # skip the whole pack/all_to_all/merge when NO device has a
+            # migrant this round (late rounds are mostly shadow-only; the
+            # 1-int psum predicate is uniform across the axis group, so
+            # every device takes the same cond branch and the collective
+            # stays matched)
+            n_send = jax.lax.psum(jnp.sum(send.astype(jnp.int32)), axis)
+
+            def do_exchange(arena):
+                dest = jnp.where(
+                    send, serving_device(arena.inst, arena.id), -1)
+                arena, packed, d_pack, demand = _pack_exchange(
+                    arena, dest, n_dev, cap)
+                incoming = jax.tree.map(
+                    lambda a: jax.lax.all_to_all(
+                        a, axis, split_axis=0, concat_axis=0, tiled=False),
+                    packed)
+                arena, d_merge = _merge_incoming(arena, incoming)
+                return arena, d_pack + d_merge, demand
+
+            arena, d_x, demand = jax.lax.cond(
+                n_send > 0, do_exchange,
+                lambda a: (a, jnp.int32(0), jnp.int32(0)), arena)
+            return (r + 1, arena, fb2, drops + d_x, traced,
                     jnp.maximum(peak, demand))
 
         def cond(state):
@@ -466,7 +531,7 @@ def _trace_domain_jit(scene_stacked, route, n_rep, res, arena, accel,
 
         _, arena, fb, drops, traced, peak = jax.lax.while_loop(
             cond, round_fn,
-            (jnp.int32(0), arena, fb, jnp.int32(0), jnp.int32(0),
+            (jnp.int32(0), arena, fb, d_claim, jnp.int32(0),
              jnp.int32(0)))
         fb = jax.lax.psum(fb, axis)
         drops = jax.lax.psum(drops, axis)
@@ -632,6 +697,7 @@ class DomainRenderer:
         done_rounds = 0
         grows = 0
         max_grows = 3
+        slack = 2.0
         while done_rounds < max_rounds:
             # keep the pre-chunk arena: a chunk is a pure function of
             # (arena, cap), so an overflowing chunk can be re-run exactly
@@ -644,12 +710,14 @@ class DomainRenderer:
                 exchange_cap=cap, accel=dr.accel,
                 return_stats="peak", return_load=True,
                 resident=dr.resident, initial_shuffle=first,
-                return_arena=True)
+                return_arena=True, local_slack=slack)
             if int(drops) > 0:
                 # in-frame predictive regrow (same policy as render()):
                 # a transient hot spot must not abort a long frame —
                 # rewind to the pre-chunk state and replay the chunk with
                 # capacity = the observed peak per-destination demand
+                # (and doubled local width, in case the drop was
+                # compaction overflow on the first chunk)
                 if grows >= max_grows:
                     raise RuntimeError(
                         f"in-frame exchange still dropping {int(drops)} "
@@ -657,6 +725,7 @@ class DomainRenderer:
                 grows += 1
                 need = -(-max(int(peak), cap + 1) // 1024) * 1024
                 cap = min(max(need, cap * 2), arena_prev.capacity)
+                slack = min(slack * 2.0, float(n_dev))
                 arena = arena_prev
                 continue
             fb_total = fb_total + fb
@@ -679,20 +748,27 @@ class DomainRenderer:
         arena = tracer_lib.make_arena(rays, int(self.scene_stacked.num_lights))
         n_dev = self.mesh.shape[self.axis]
         cap = max(1024, arena.capacity // n_dev)
+        slack = 2.0
         for _ in range(max_grows + 1):
             fb, (drops, peak), load = trace_domain(
                 self.scene_stacked, self.owners, arena,
                 camera.film_width, camera.film_height,
                 self.mesh, self.axis, max_rounds,
                 exchange_cap=cap, accel=self.accel, return_stats="peak",
-                resident=self.resident, return_load=True)
+                resident=self.resident, return_load=True,
+                local_slack=slack)
             if int(drops) == 0:
                 return (fb, load) if return_load else fb
             # predictive regrow: jump straight to the observed peak
             # per-destination demand (one retry) instead of blind doubling
-            # that can re-pay full-frame cost up to max_grows times
+            # that can re-pay full-frame cost up to max_grows times.
+            # Drops may also be local-arena compaction overflow (a hot
+            # domain owner claiming more than C*slack/n rays) — grow the
+            # slack in the same retry; at slack >= n_dev the local width
+            # saturates at C (the pre-r5 replicated behavior, lossless).
             need = -(-max(int(peak), cap + 1) // 1024) * 1024
             cap = min(max(need, cap * 2), arena.capacity)
+            slack = min(slack * 2.0, float(n_dev))
         raise RuntimeError(
             f"ray exchange still dropping {int(drops)} rays at "
             f"exchange_cap={cap}; increase arena capacity")

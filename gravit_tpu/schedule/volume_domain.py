@@ -101,15 +101,50 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
                         exchange_cap: int | None = None,
                         return_stats: bool = False,
                         slice_axes: tuple = (),
-                        slice_interpret: bool = False):
+                        slice_interpret: bool = False,
+                        local_slack: float = 2.0):
     """slice_axes (static, per local-volume slot): marches qualifying
     bricks through the slice-order MXU engine INSIDE the sharded domain
     program — per-device brick origins/TF ranges ride traced
     (ops/slice_march.py), so one SPMD trace serves every device. Compute
-    it with volume_tracer.slice_axes_for(scene_stacked, directions)."""
+    it with volume_tracer.slice_axes_for(scene_stacked, directions).
+
+    local_slack: after the initial owner claim each device compacts its
+    replicated arena to ~(C/n_dev)*local_slack lanes, so per-round march/
+    shuffle work scales as C/n instead of C (the SCALING_r04 fix shared
+    with the surface domain scheduler — see domain_sched._compact_arena).
+    Compaction overflow is counted in the returned drops."""
     n_dev = mesh.shape[axis]
     cap = exchange_cap or max(1024, arena.capacity // n_dev)
+    want = -(-int(arena.capacity * local_slack) // n_dev)
+    c_local = min(arena.capacity, max(1024, -(-want // 1024) * 1024))
 
+    fb, drops = _trace_volume_domain_jit(
+        scene_stacked, owners, arena, mesh=mesh, axis=axis,
+        width=width, height=height, max_rounds=max_rounds, cap=cap,
+        slice_axes=slice_axes, slice_interpret=slice_interpret,
+        c_local=c_local)
+    fb = image_lib.clamp_rgb(fb)
+    if return_stats:
+        return fb, drops
+    return fb
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "axis", "width", "height", "max_rounds", "cap", "slice_axes",
+    "slice_interpret", "c_local"))
+def _trace_volume_domain_jit(scene_stacked, owners, arena, *, mesh: Mesh,
+                             axis: str, width: int, height: int,
+                             max_rounds: int, cap: int, slice_axes: tuple,
+                             slice_interpret: bool, c_local: int):
+    """Compiled core — ONE jitted program per static config. The
+    shard_map closure must live under an outer jit keyed on the config or
+    every frame re-traces AND re-compiles (the round-3 '40x scaling
+    overhead'; domain_sched._trace_domain_jit got this fix in round 4,
+    this path gets it now)."""
+    from gravit_tpu.schedule.domain_sched import _compact_arena
+
+    n_dev = mesh.shape[axis]
     scene_specs = jax.tree.map(lambda _: P(axis), scene_stacked)
     arena_specs = jax.tree.map(lambda _: P(), arena)
 
@@ -123,11 +158,13 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
         me = jax.lax.axis_index(axis)
         fb = image_lib.new_framebuffer(width, height)
 
-        # initial generic filter, then keep only locally-owned targets
+        # initial generic filter, keep only locally-owned targets, then
+        # compact to the local working width (per-round work O(C/n))
         arena = volume_tracer.filter_initial(scene_l, arena)
         inst_owner = owners[jnp.clip(arena.inst, 0, owners.shape[0] - 1)]
         arena = arena.replace(
             active=arena.active & ((arena.inst < 0) | (inst_owner == me)))
+        arena, d_claim = _compact_arena(arena, c_local)
 
         def round_fn(state):
             r, arena, fb, drops = state
@@ -138,15 +175,25 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
             inst_owner = owners[jnp.clip(arena.inst, 0,
                                          owners.shape[0] - 1)]
             send = arena.active & (arena.inst >= 0) & (inst_owner != me)
-            dest = jnp.where(send, inst_owner, -1)
-            arena, packed, d_pack, _ = _pack_exchange(arena, dest, n_dev,
-                                                      cap)
-            incoming = jax.tree.map(
-                lambda a: jax.lax.all_to_all(
-                    a, axis, split_axis=0, concat_axis=0, tiled=False),
-                packed)
-            arena, d_merge = _merge_incoming(arena, incoming)
-            return r + 1, arena, fb, drops + d_pack + d_merge
+            # skip pack/all_to_all/merge when no device has a migrant
+            # (uniform psum predicate keeps the collective matched)
+            n_send = jax.lax.psum(jnp.sum(send.astype(jnp.int32)), axis)
+
+            def do_exchange(arena):
+                dest = jnp.where(send, inst_owner, -1)
+                arena, packed, d_pack, _ = _pack_exchange(
+                    arena, dest, n_dev, cap)
+                incoming = jax.tree.map(
+                    lambda a: jax.lax.all_to_all(
+                        a, axis, split_axis=0, concat_axis=0, tiled=False),
+                    packed)
+                arena, d_merge = _merge_incoming(arena, incoming)
+                return arena, d_pack + d_merge
+
+            arena, d_x = jax.lax.cond(
+                n_send > 0, do_exchange,
+                lambda a: (a, jnp.int32(0)), arena)
+            return r + 1, arena, fb, drops + d_x
 
         def cond(state):
             r, arena, fb, drops = state
@@ -155,11 +202,7 @@ def trace_volume_domain(scene_stacked: VolumeSceneData, owners: jax.Array,
             return (r < max_rounds) & (jax.lax.psum(live, axis) > 0)
 
         _, arena, fb, drops = jax.lax.while_loop(
-            cond, round_fn, (jnp.int32(0), arena, fb, jnp.int32(0)))
+            cond, round_fn, (jnp.int32(0), arena, fb, d_claim))
         return jax.lax.psum(fb, axis), jax.lax.psum(drops, axis)
 
-    fb, drops = run(scene_stacked, owners, arena)
-    fb = image_lib.clamp_rgb(fb)
-    if return_stats:
-        return fb, drops
-    return fb
+    return run(scene_stacked, owners, arena)
