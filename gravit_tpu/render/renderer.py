@@ -201,11 +201,8 @@ class Renderer:
             from gravit_tpu.render.tracer import (make_arena, trace_image,
                                                   trace_image_fast,
                                                   trace_image_fast_multi)
-            from gravit_tpu.scene.light import LightKind
 
             accel = self._maybe_accel(meshes)
-            no_area = not any(li.kind == int(LightKind.AREA)
-                              for li in lights)
             if scene.num_instances == 1 and camera.max_depth <= 1:
                 # megapass: whole frame in two intersection dispatches
                 # (bit-equal to the loop on this config; tests/test_fast_path)
@@ -213,11 +210,11 @@ class Renderer:
                                       camera.film_width, camera.film_height,
                                       accel=accel,
                                       samples=camera.samples)
-            elif camera.max_depth <= 1 and no_area:
-                # multi-instance megapass: dense 3-phase resolution
-                # (bit-equal to the loop on this contract;
-                # tests/test_fast_multi — area lights excluded because
-                # their sample hashes are seeded by the hit round index)
+            elif camera.max_depth <= 1:
+                # multi-instance megapass: dense 3-phase resolution,
+                # bit-equal to the loop incl. area lights (phase A records
+                # each ray's freeze round to seed the light-sample hashes;
+                # tests/test_fast_multi)
                 fb = trace_image_fast_multi(
                     scene, camera.generate_rays(), camera.film_width,
                     camera.film_height, accel=accel, samples=camera.samples)

@@ -527,8 +527,13 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
 
     L = scene.num_lights
     spawn_rows = []
-    # decorrelation counter for the per-ray hashes: round + bounce depth
-    rng_extra = (jnp.uint32(round_idx) * jnp.uint32(2654435761)
+    # decorrelation counter for the per-ray hashes: round + bounce depth.
+    # round_idx may be a scalar (looped tracer: the wavefront round) or a
+    # per-lane (N,) array (fast-multi passes each ray's RECORDED freeze
+    # round so area-light sample hashes match the looped tracer exactly —
+    # the r4 gate excluded area lights because this collapsed to 0)
+    rng_extra = (jnp.asarray(round_idx).astype(jnp.uint32)
+                 * jnp.uint32(2654435761)
                  + arena.depth.astype(jnp.uint32) * jnp.uint32(40503))
     for li in range(L):
         # sample light position (area lights use counter-based per-ray
@@ -859,11 +864,12 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
          rows die, escapes hop instances until they clear the scene, then
          deposit densely (no pixel-id scatter, no arena lanes ever).
 
-    Exactly equivalent to trace_image when (a) no ray can Russian-
-    roulette bounce (camera max_depth == 1) and (b) no area lights (their
-    sample position hashes are seeded by the round index a ray hits in,
-    which this construction collapses to 0). Callers gate on those and
-    fall back to trace_image otherwise. vs the looped tracer this deletes
+    Exactly equivalent to trace_image when no ray can Russian-roulette
+    bounce (camera max_depth == 1); callers gate on that and fall back to
+    trace_image otherwise. Area lights included: phase A records each
+    ray's freeze round (`hitr`) and phase B seeds the light-sample hashes
+    with it, reproducing the looped tracer's per-round RNG exactly (the
+    r4 gate's round-seed collapse). vs the looped tracer this deletes
     the (1+L)x arena slack, the per-round spawn free-lane scatter, and
     the shadow/primary round interleave — the multi-instance analog of
     trace_image_fast's straight-lining.
@@ -914,10 +920,11 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
                prim=jnp.full((n,), -1, jnp.int32),
                u=jnp.zeros((n,), jnp.float32),
                v=jnp.zeros((n,), jnp.float32))
+    hitr0 = jnp.zeros((n,), jnp.int32)
     thresh = -(-max(PACKET, n // 8) // PACKET) * PACKET
 
     def a_body(state):
-        r, arena, hit = state
+        r, arena, hit, hitr = state
         o_obj, d_obj, mesh = to_object_space(scene, arena)
         queued = arena.active & (arena.inst >= 0) & (mesh >= 0)
         h = closest(o_obj, d_obj, mesh, queued)
@@ -926,6 +933,11 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
                   prim=jnp.where(got, h.prim, hit.prim),
                   u=jnp.where(got, h.u, hit.u),
                   v=jnp.where(got, h.v, hit.v))
+        # record each ray's FREEZE round: camera rays hop one instance per
+        # looped round, so hop-loop iteration r IS the wavefront round the
+        # looped tracer would shade this hit in — phase B seeds the light-
+        # sample hashes with it (bit-equality for area lights)
+        hitr = jnp.where(got, r, hitr)
         escapes = queued & (h.prim < 0)
         # hit lanes FREEZE (active=False, inst kept for phase B's normi
         # gather); escaped lanes hop via the 0.95-bump requeue
@@ -947,18 +959,18 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
             inst=jnp.where(requeue, nxt, arena.inst),
             active=arena.active & ~(pending & ~found),
         )
-        return r + 1, arena, hit
+        return r + 1, arena, hit, hitr
 
     def live_count(arena):
         return jnp.sum(arena.active.astype(jnp.int32))
 
     # stage 1: full width while the live set is too big to compact
     def a1_cond(state):
-        r, arena, hit = state
+        r, arena, hit, hitr = state
         return (r < max_rounds) & (live_count(arena) > thresh)
 
-    r, arena, hit = jax.lax.while_loop(a1_cond, a_body,
-                                       (jnp.int32(0), arena, hit0))
+    r, arena, hit, hitr = jax.lax.while_loop(
+        a1_cond, a_body, (jnp.int32(0), arena, hit0, hitr0))
 
     # stage 2: compact live lanes (guaranteed <= thresh) and finish there
     live = arena.active
@@ -968,22 +980,23 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
     hit_s = jax.tree.map(lambda a: a[sel], hit)
 
     def a2_cond(state):
-        r, arena_s, hit_s = state
+        r, arena_s, hit_s, hitr_s = state
         return (r < max_rounds) & jnp.any(arena_s.active)
 
-    r, arena_s, hit_s = jax.lax.while_loop(a2_cond, a_body,
-                                           (r, arena_s, hit_s))
+    r, arena_s, hit_s, hitr_s = jax.lax.while_loop(
+        a2_cond, a_body, (r, arena_s, hit_s, hitr[sel]))
     # scatter the tail's state back to the original lanes
     arena = jax.tree.map(lambda big, small: big.at[sel].set(small),
                          arena, arena_s)
     hit = jax.tree.map(lambda big, small: big.at[sel].set(small),
                        hit, hit_s)
+    hitr = hitr.at[sel].set(hitr_s)
 
     # ---- phase B: one dense shade + spawn over all hits ------------------
     resolved = hit.prim >= 0
     arena = arena.replace(active=resolved)
     arena, fb, spawn = _process_surface_hits(
-        scene, arena, fb, hit, resolved, jnp.int32(0), no_bounce=True)
+        scene, arena, fb, hit, resolved, hitr, no_bounce=True)
 
     # ---- phase C: shadow any-hit resolution on the dense spawn matrix ----
     # Same two-stage shape as phase A: full width while > m//8 rows live,

