@@ -3,6 +3,8 @@ remote TPU terminal can be timed out and fallen back from).
 
 Modes (first matching flag wins):
   --fast          single-instance megapass tracer (2 kernel dispatches/frame)
+  --fast --depth K   depth-K megapass (K closest-hit generations + 1 any-hit;
+                  Russian-roulette multi-bounce at engine speed)
   --accel         looped tracer + Pallas BVH, whole frame fused in one program
   --accel --stepped   one bounded program per round
   --brute         jnp brute-force intersector
@@ -44,7 +46,7 @@ FRAMES = 3
 SCAN_FRAMES = 10
 
 
-def _bunny():
+def _bunny(max_depth: int = 1):
     from gravit_tpu.render.scene_build import Instance, build_scene
     from gravit_tpu.scene.camera import PerspectiveCamera
     from gravit_tpu.scene.light import point_light
@@ -58,7 +60,7 @@ def _bunny():
         eye=(0.0, 0.1, 0.3), focus=(0.0, 0.1, -0.3), up=(0.0, 1.0, 0.0),
         fov=float(45.0 * np.pi / 180.0),
         film_width=WIDTH, film_height=HEIGHT,
-        samples=1, max_depth=1, jitter_window=0.0)
+        samples=1, max_depth=max_depth, jitter_window=0.0)
     return cm, scene, cam
 
 
@@ -154,7 +156,9 @@ def main_surface():
                scan=lambda k: scan_frames(jnp.arange(k)))
         return
 
-    cm, scene, cam = _bunny()
+    depth = (int(sys.argv[sys.argv.index("--depth") + 1])
+             if "--depth" in sys.argv else 1)
+    cm, scene, cam = _bunny(max_depth=depth)
     accel = build_scene_bvh([cm]) if use_accel else None
     rays0 = cam.generate_rays()
     arena0 = None if fast else make_arena(rays0, scene.num_lights)
@@ -169,7 +173,7 @@ def main_surface():
         if fast:
             rays = rays0.replace(origin=rays0.origin + 1.7e-6 * (i + 1))
             return trace_image_fast(scene, rays, WIDTH, HEIGHT, accel=accel,
-                                    dense_deposit=dense)
+                                    dense_deposit=dense, max_depth=depth)
         arena = arena0.replace(origin=arena0.origin + 1.7e-6 * (i + 1))
         if fused:
             return trace_image(scene, arena, WIDTH, HEIGHT,
@@ -185,14 +189,15 @@ def main_surface():
                 rays = rays0.replace(
                     origin=rays0.origin + 1.7e-6 * (i + 1))
                 fb = trace_image_fast(scene, rays, WIDTH, HEIGHT,
-                                      accel=accel, dense_deposit=dense)
+                                      accel=accel, dense_deposit=dense,
+                                      max_depth=depth)
                 return 0, fb[:64]
             _, fbs = jax.lax.scan(body, 0, ks)
             return jnp.sum(fbs, axis=0)
 
         scan = lambda k: scan_frames(jnp.arange(k))  # noqa: E731
 
-    mode = ("fast" if fast
+    mode = ((f"fast-d{depth}" if depth > 1 else "fast") if fast
             else "accel-fused" if (use_accel and fused)
             else "accel" if use_accel else "brute")
     _timed(frame, WIDTH * HEIGHT, mode, scan=scan)

@@ -203,13 +203,16 @@ class Renderer:
                                                   trace_image_fast_multi)
 
             accel = self._maybe_accel(meshes)
-            if scene.num_instances == 1 and camera.max_depth <= 1:
-                # megapass: whole frame in two intersection dispatches
-                # (bit-equal to the loop on this config; tests/test_fast_path)
+            if scene.num_instances == 1 and camera.max_depth <= 6:
+                # megapass: whole frame in max_depth+1 dense intersection
+                # dispatches, bit-equal to the loop for any depth on one
+                # instance (tests/test_fast_path); the depth cap only
+                # bounds the static generation unroll
                 fb = trace_image_fast(scene, camera.generate_rays(),
                                       camera.film_width, camera.film_height,
                                       accel=accel,
-                                      samples=camera.samples)
+                                      samples=camera.samples,
+                                      max_depth=camera.max_depth)
             elif camera.max_depth <= 1:
                 # multi-instance megapass: dense 3-phase resolution,
                 # bit-equal to the loop incl. area lights (phase A records
