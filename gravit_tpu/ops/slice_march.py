@@ -117,20 +117,45 @@ def _apply_tf_formula(color_lut, opacity_lut, low, high, s):
     return v[..., 0:3], v[..., 3]
 
 
+# headlight shading constants for implicit surfaces (ops/volume_march.py
+# ISO_KA/ISO_KD; the reference hardcodes them, OSPRayAdapter.cpp trace)
+ISO_KA = 0.4
+ISO_KD = 0.6
+# central-difference half-step for the x/y gradient taps, GRID units
+ISO_H = 0.5
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "axis", "flip", "step", "base_step", "spacing"))
+    "axis", "flip", "step", "base_step", "spacing", "isovalues"))
 def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
                           samples, color_lut, opacity_lut,
                           *, axis: int, flip: bool, step: float,
                           base_step: float, low, high,
-                          origin, spacing: tuple):
+                          origin, spacing: tuple,
+                          isovalues: tuple = ()):
     """Pure-jnp twin of the Pallas kernel: identical plane discretization,
     hat-weight bilinear, TF lerp and compositing — the validation oracle
     (kernel vs this: tolerance ~1e-5) and the differentiable path.
 
     origin/low/high are TRACED (per-brick values under the sharded domain
     scheduler differ per device, and an SPMD program is one trace);
-    axis/flip/step/spacing stay static (they size the plane ladder)."""
+    axis/flip/step/spacing stay static (they size the plane ladder).
+
+    isovalues (static): implicit isosurfaces at engine speed (VERDICT r4
+    missing #1; gather-march semantics in ops/volume_march.py:199-205).
+    Per plane, a sign change of (s - iso) between consecutive in-brick
+    samples marks a crossing; the FIRST crossing freezes the ray (w -> 1,
+    exactly surface_deposit) and records the gradient inputs: x/y taps
+    are two extra hat-matmul resamples + two reweighted sums on the same
+    plane (half-step ISO_H), the z tap is the BACKWARD difference to the
+    previous plane's sample (positions the march already visits — no
+    per-ray z gather, and no dependence on how far past the crossing the
+    early-exit loop runs, which kept kernel and twin from agreeing with
+    a deferred central tap). The headlight lambert
+    deposit (ISO_KA + ISO_KD*|n.v|, the march's surface_deposit) lands
+    after the ladder. Discretization matches the slice engine, so images
+    agree with the gather march at the same tolerance as the volume path.
+    """
     origin_a = jnp.asarray(origin, jnp.float32)
     spacing_a = jnp.asarray(spacing, jnp.float32)
     S, w_sub, w_lane = _permute_volume(samples, axis, flip)
@@ -159,9 +184,14 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
 
     xs = jnp.arange(nL, dtype=jnp.float32)
     ys = jnp.arange(nS, dtype=jnp.float32)
+    n = ox.shape[0]
+    # per-iso surface rgb: the march's apply_tf at the iso value
+    iso_rgb = [_apply_tf_formula(color_lut, opacity_lut, low, high,
+                                 jnp.float32(v))[0] for v in isovalues]
 
     def body(carry, k):
-        color, w = carry
+        (color, w, s_prev, have_prev, crossed, w_pre,
+         g_x, g_y, g_z, rec_rgb) = carry
         zg = (k.astype(jnp.float32) + 0.5) * dzg
         k0 = jnp.clip(jnp.floor(zg).astype(jnp.int32), 0, nz - 2)
         fz = jnp.clip(zg - k0, 0.0, 1.0)
@@ -173,17 +203,79 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
         Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None] - ys[None, :]))
         t1 = jnp.dot(Wx, Sz.T, preferred_element_type=jnp.float32)
         s = jnp.sum(t1 * Wy, axis=1)                        # (N,)
+        valid = active & (t_k >= t_in) & (t_k < t_out)
+        inside = valid & (w < OPACITY_TERMINATION)
+
+        if isovalues:
+            # x/y taps on THIS plane (only needed where a crossing lands,
+            # but branchless: two extra matmuls + two reweighted sums)
+            Wxp = jnp.maximum(
+                0.0, 1.0 - jnp.abs((gx + ISO_H)[:, None] - xs[None, :]))
+            Wxm = jnp.maximum(
+                0.0, 1.0 - jnp.abs((gx - ISO_H)[:, None] - xs[None, :]))
+            sxp = jnp.sum(jnp.dot(Wxp, Sz.T,
+                                  preferred_element_type=jnp.float32) * Wy,
+                          axis=1)
+            sxm = jnp.sum(jnp.dot(Wxm, Sz.T,
+                                  preferred_element_type=jnp.float32) * Wy,
+                          axis=1)
+            Wyp = jnp.maximum(
+                0.0, 1.0 - jnp.abs((gy + ISO_H)[:, None] - ys[None, :]))
+            Wym = jnp.maximum(
+                0.0, 1.0 - jnp.abs((gy - ISO_H)[:, None] - ys[None, :]))
+            syp = jnp.sum(t1 * Wyp, axis=1)
+            sym = jnp.sum(t1 * Wym, axis=1)
+            for ii, iso in enumerate(isovalues):
+                cross = (inside & have_prev & ~crossed
+                         & ((s_prev - iso) * (s - iso) <= 0.0)
+                         & (s_prev != s))
+                w_pre = jnp.where(cross, w, w_pre)
+                g_x = jnp.where(cross, (sxp - sxm) / (2.0 * ISO_H), g_x)
+                g_y = jnp.where(cross, (syp - sym) / (2.0 * ISO_H), g_y)
+                g_z = jnp.where(cross, (s - s_prev) / dzg, g_z)
+                rec_rgb = jnp.where(cross[:, None], iso_rgb[ii], rec_rgb)
+                crossed = crossed | cross
+                w = jnp.where(cross, 1.0, w)
+            inside = inside & (w < OPACITY_TERMINATION)
+
         rgb, a_tf = _apply_tf_formula(color_lut, opacity_lut, low, high, s)
-        inside = (active & (t_k >= t_in) & (t_k < t_out)
-                  & (w < OPACITY_TERMINATION))
         a = 1.0 - jnp.power(jnp.maximum(1.0 - a_tf, 0.0), corr)
         a = jnp.where(inside, a, 0.0)
         color = color + (1.0 - w)[:, None] * a[:, None] * rgb
         w = w + (1.0 - w) * a
-        return (color, w), None
+        have_prev = have_prev | valid
+        s_prev = jnp.where(valid, s, s_prev)
+        return (color, w, s_prev, have_prev, crossed, w_pre,
+                g_x, g_y, g_z, rec_rgb), None
 
-    (color, w), _ = jax.lax.scan(body, (color_in, w_in),
-                                 jnp.arange(n_planes))
+    zrow = jnp.zeros((n,), jnp.float32)
+    frow = jnp.zeros((n,), bool)
+    carry0 = (color_in, w_in, zrow, frow, frow, zrow,
+              zrow, zrow, zrow, jnp.zeros((n, 3), jnp.float32))
+    (color, w, _, _, crossed, w_pre, g_x, g_y, g_z, rec_rgb), _ = \
+        jax.lax.scan(body, carry0, jnp.arange(n_planes))
+
+    if isovalues:
+        # headlight lambert at the recorded crossing. Spacing cancels in
+        # the grid-space dot product (g_obj = g_grid/sp, v_obj =
+        # d_grid*sp), so n.v = sum g_grid*d_grid; norms carry the static
+        # spacing factors per permuted axis.
+        sp = [float(spacing[w_lane]), float(spacing[w_sub]),
+              float(spacing[axis])]
+        dot = g_x * dx + g_y * dy + g_z * dz
+        gn = jnp.sqrt(jnp.maximum(
+            (g_x / sp[0]) ** 2 + (g_y / sp[1]) ** 2 + (g_z / sp[2]) ** 2,
+            1e-30))
+        vn = jnp.sqrt(jnp.maximum(
+            (dx * sp[0]) ** 2 + (dy * sp[1]) ** 2 + (dz * sp[2]) ** 2,
+            1e-30))
+        ndv = jnp.abs(dot) / (gn * vn)
+        shade = ISO_KA + ISO_KD * ndv
+        color = jnp.where(
+            crossed[:, None],
+            color + (1.0 - w_pre)[:, None] * rec_rgb * shade[:, None],
+            color)
+
     opaque = w >= OPACITY_TERMINATION
     flags = jnp.where(opaque, RAY_OPAQUE, RAY_BOUNDARY)
     return color, w, jnp.where(active, flags, 0)
@@ -209,14 +301,24 @@ def _lut_lookup(tf_ref, ch: int, idx, R: int):
 
 
 def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, out_ref, *,
-                  nz: int, nS: int, nL: int, dzg: float, n_planes: int):
+                  nz: int, nS: int, nL: int, dzg: float, n_planes: int,
+                  isovalues: tuple = ()):
     """One grid step = one RAYS_PER_BLOCK block of rays (lanes-major).
 
-    slab_ref (SMEM, 4): (off, z_hi, low, high) — the z-window of grid
-    rows S_ref holds in ABSOLUTE grid coords, plus the TF value range
-    (traced: per-brick under the domain scheduler). Whole-brick calls
-    pass off=0, z_hi=nz-1; slab-streamed big bricks pass each slab's
-    window and carry color/w between calls. `nz` is S_ref's row count.
+    slab_ref (SMEM, 4 + 3*len(isovalues)): (off, z_hi, low, high) — the
+    z-window of grid rows S_ref holds in ABSOLUTE grid coords, plus the
+    TF value range (traced: per-brick under the domain scheduler), then
+    each isovalue's surface rgb (computed outside with the TF formula).
+    Whole-brick calls pass off=0, z_hi=nz-1; slab-streamed big bricks
+    pass each slab's window and carry color/w between calls (iso configs
+    are whole-brick only — the wrapper gates). `nz` is S_ref's row count.
+
+    isovalues (static): per plane, sign-change detection against the
+    previous in-brick sample; the first crossing freezes the ray (w=1)
+    and records gradient inputs (x/y: half-step hat-matmul taps on the
+    same plane; z: the next plane's sample). The headlight lambert
+    deposit lands after the plane loop. Mirrors slice_march_reference
+    exactly; masks ride as f32 rows (Mosaic i1-concat restriction).
     """
     R = RAYS_PER_BLOCK
     off = slab_ref[0]
@@ -266,10 +368,12 @@ def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, out_ref, *,
 
     sub_iota = jax.lax.broadcasted_iota(
         jnp.int32, (max(nS, nL), R), 0).astype(jnp.float32)
+    zrow = jnp.zeros((1, R), jnp.float32)
 
     def batch_body(state):
-        kb, color, w = state
+        kb, color, w, iso_st = state
         s_rows, m_rows = [], []
+        tap_rows = []
         for j in range(PLANE_BATCH):
             k = kb * PLANE_BATCH + j
             zg = (k.astype(jnp.float32) + 0.5) * dzg
@@ -293,6 +397,26 @@ def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, out_ref, *,
             # masks ride as f32 rows: Mosaic cannot relayout i1 vregs
             # through concatenate (bitcast_vreg i1->i32 rejection)
             m_rows.append(valid.astype(jnp.float32))
+            if isovalues:
+                # gradient x/y taps: two extra hat matmuls + two
+                # reweighted sums per plane (see slice_march_reference)
+                Wxp = jnp.maximum(
+                    0.0, 1.0 - jnp.abs((gx + ISO_H) - sub_iota[:nL]))
+                Wxm = jnp.maximum(
+                    0.0, 1.0 - jnp.abs((gx - ISO_H) - sub_iota[:nL]))
+                sxp = jnp.sum(jnp.dot(Sz, Wxp,
+                                      preferred_element_type=jnp.float32)
+                              * Wy, axis=0, keepdims=True)
+                sxm = jnp.sum(jnp.dot(Sz, Wxm,
+                                      preferred_element_type=jnp.float32)
+                              * Wy, axis=0, keepdims=True)
+                Wyp = jnp.maximum(
+                    0.0, 1.0 - jnp.abs((gy + ISO_H) - sub_iota[:nS]))
+                Wym = jnp.maximum(
+                    0.0, 1.0 - jnp.abs((gy - ISO_H) - sub_iota[:nS]))
+                syp = jnp.sum(t1 * Wyp, axis=0, keepdims=True)
+                sym = jnp.sum(t1 * Wym, axis=0, keepdims=True)
+                tap_rows.append((sxp, sxm, syp, sym))
         s_b = jnp.concatenate(s_rows, axis=0)        # (PLANE_BATCH, R)
         m_b = jnp.concatenate(m_rows, axis=0)
 
@@ -311,21 +435,73 @@ def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, out_ref, *,
         # sequential front-to-back composite over the batch's planes
         for j in range(PLANE_BATCH):
             a_tf = a_b[j:j + 1, :]
-            inside = (m_b[j:j + 1, :] > 0.5) & (w < OPACITY_TERMINATION)
+            s = s_b[j:j + 1, :]
+            valid = m_b[j:j + 1, :] > 0.5
+            inside = valid & (w < OPACITY_TERMINATION)
+            if isovalues:
+                (sprev, hprev, crossed, w_pre,
+                 gxd, gyd, gzd, rec_rgb) = iso_st
+                sxp, sxm, syp, sym = tap_rows[j]
+                for ii, iso in enumerate(isovalues):
+                    cross = (inside & (hprev > 0.5) & (crossed < 0.5)
+                             & ((sprev - iso) * (s - iso) <= 0.0)
+                             & (sprev != s))
+                    w_pre = jnp.where(cross, w, w_pre)
+                    gxd = jnp.where(cross, (sxp - sxm) / (2.0 * ISO_H),
+                                    gxd)
+                    gyd = jnp.where(cross, (syp - sym) / (2.0 * ISO_H),
+                                    gyd)
+                    gzd = jnp.where(cross, (s - sprev) / dzg, gzd)
+                    rec_rgb = tuple(
+                        jnp.where(cross, slab_ref[4 + 3 * ii + ci], rc)
+                        for ci, rc in enumerate(rec_rgb))
+                    crossed = jnp.where(cross, 1.0, crossed)
+                    w = jnp.where(cross, 1.0, w)
+                inside = inside & (w < OPACITY_TERMINATION)
+                hprev = jnp.where(valid, 1.0, hprev)
+                sprev = jnp.where(valid, s, sprev)
+                iso_st = (sprev, hprev, crossed, w_pre,
+                          gxd, gyd, gzd, rec_rgb)
             a = 1.0 - jnp.power(jnp.maximum(1.0 - a_tf, 0.0), corr)
             a = jnp.where(inside, a, 0.0)
             fade = (1.0 - w) * a
             color = tuple(c + fade * rgb_b[ci][j:j + 1, :]
                           for ci, c in enumerate(color))
             w = w + fade
-        return kb + 1, color, w
+        return kb + 1, color, w, iso_st
 
     def batch_cond(state):
-        kb, color, w = state
+        kb, color, w, iso_st = state
         return (kb < kb_hi) & jnp.any(act & (w < OPACITY_TERMINATION))
 
-    _, color, w = jax.lax.while_loop(
-        batch_cond, batch_body, (kb_lo, color0, w0))
+    iso_st0 = ((zrow, zrow, zrow, zrow, zrow, zrow, zrow,
+                (zrow, zrow, zrow)) if isovalues else ())
+    _, color, w, iso_st = jax.lax.while_loop(
+        batch_cond, batch_body, (kb_lo, color0, w0, iso_st0))
+
+    if isovalues:
+        # headlight lambert at the recorded crossing (spacing factors are
+        # folded into the ray rows by the wrapper: rows 12..14 carry the
+        # per-axis spacing-scaled norms' coefficients via dx,dy,dz and
+        # static spacing — see slice_march)
+        (sprev, hprev, crossed, w_pre,
+         gxd, gyd, gzd, rec_rgb) = iso_st
+        sp_l = slab_ref[4 + 3 * len(isovalues) + 0]
+        sp_s = slab_ref[4 + 3 * len(isovalues) + 1]
+        sp_a = slab_ref[4 + 3 * len(isovalues) + 2]
+        dot = gxd * dx + gyd * dy + gzd * dz
+        gn = jnp.sqrt(jnp.maximum(
+            (gxd / sp_l) ** 2 + (gyd / sp_s) ** 2 + (gzd / sp_a) ** 2,
+            1e-30))
+        vn = jnp.sqrt(jnp.maximum(
+            (dx * sp_l) ** 2 + (dy * sp_s) ** 2 + (dz * sp_a) ** 2,
+            1e-30))
+        shade = ISO_KA + ISO_KD * jnp.abs(dot) / (gn * vn)
+        is_c = crossed > 0.5
+        color = tuple(
+            jnp.where(is_c, c + (1.0 - w_pre) * rec_rgb[ci] * shade, c)
+            for ci, c in enumerate(color))
+
     out_ref[0] = jnp.concatenate([color[0], color[1], color[2], w], axis=0)
 
 
@@ -349,11 +525,11 @@ SLAB_BYTES = 4 * 1024 * 1024
 
 
 def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
-                      n_planes, interpret):
+                      n_planes, interpret, isovalues=()):
     R = RAYS_PER_BLOCK
     return pl.pallas_call(
         functools.partial(_slice_kernel, nz=nz, nS=nS, nL=nL, dzg=dzg,
-                          n_planes=n_planes),
+                          n_planes=n_planes, isovalues=isovalues),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -373,12 +549,13 @@ def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
 
 @functools.partial(jax.jit, static_argnames=(
     "axis", "flip", "step", "base_step", "spacing",
-    "interpret", "slab_bytes"))
+    "interpret", "slab_bytes", "isovalues"))
 def slice_march(o_obj, d_obj, active, color_in, w_in,
                 samples, color_lut, opacity_lut,
                 *, axis: int, flip: bool, step: float, base_step: float,
                 low, high, origin, spacing: tuple,
-                interpret: bool = False, slab_bytes: int = SLAB_BYTES):
+                interpret: bool = False, slab_bytes: int = SLAB_BYTES,
+                isovalues: tuple = ()):
     """March N rays through the whole brick.
 
     o_obj, d_obj: (N, 3) object-space rays, d unit (march_round's frame);
@@ -418,14 +595,30 @@ def slice_march(o_obj, d_obj, active, color_in, w_in,
 
     run = functools.partial(
         _run_slice_kernel, tf_tab=tf_tab, nb=nb, nS=nS, nL=nL, dzg=dzg,
-        n_planes=n_planes, interpret=interpret)
+        n_planes=n_planes, interpret=interpret, isovalues=isovalues)
 
     lowf = jnp.asarray(low, jnp.float32)
     highf = jnp.asarray(high, jnp.float32)
     slab_rows = max(2, int(slab_bytes) // (nS * nL * 4))
+    iso_smem = []
+    if isovalues:
+        if nz > slab_rows:
+            raise ValueError(
+                "isovalues on the slice engine require a VMEM-resident "
+                f"brick (nz={nz} > slab_rows={slab_rows}); callers gate "
+                "slab-streamed bricks to the gather march")
+        # per-iso surface rgb (the march's apply_tf at the iso value) +
+        # the permuted-axis spacings for the gradient norms, all SMEM
+        for v in isovalues:
+            rgb_v, _ = _apply_tf_formula(color_lut, opacity_lut,
+                                         lowf, highf, jnp.float32(v))
+            iso_smem += [rgb_v[0], rgb_v[1], rgb_v[2]]
+        iso_smem += [jnp.float32(spacing[w_lane]),
+                     jnp.float32(spacing[w_sub]),
+                     jnp.float32(spacing[axis])]
     if nz <= slab_rows:
         slab = jnp.stack([jnp.float32(0.0), jnp.float32(nz - 1),
-                          lowf, highf])
+                          lowf, highf] + iso_smem)
         out = run(fields, S=S, slab=slab, nz=nz)
     else:
         # stack overlapping z-windows: slab s covers absolute rows

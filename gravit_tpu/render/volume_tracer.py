@@ -105,6 +105,8 @@ def march_round(scene: VolumeSceneData, arena: RayArena,
 
             axis, flip = slice_axes[v]
             spacing = scene.vol_meta[v][1]     # static (sizes the ladder)
+            isovals = (tuple(float(x) for x in scene.vol_isovalues[v])
+                       if v < len(scene.vol_isovalues) else ())
             # origin and TF range ride TRACED (per-device bricks differ
             # under the sharded domain scheduler; one SPMD trace)
             c2, w2, flags = slice_march(
@@ -116,7 +118,7 @@ def march_round(scene: VolumeSceneData, arena: RayArena,
                 base_step=float(min(spacing)),
                 low=scene.vol_vrange[v][0], high=scene.vol_vrange[v][1],
                 origin=scene.vol_origin[v], spacing=tuple(spacing),
-                interpret=slice_interpret)
+                interpret=slice_interpret, isovalues=isovals)
         else:
             c2, w2, flags = march_brick(
                 o_obj, d_obj, mask, color, w,
@@ -231,13 +233,24 @@ def can_slice_march(scene: VolumeSceneData, directions) -> tuple:
         return False, 0, False
     if scene.vol_subgrids and scene.vol_subgrids[0]:
         return False, 0, False
-    if scene.vol_isovalues and scene.vol_isovalues[0]:
+    if scene.vol_isovalues and scene.vol_isovalues[0] \
+            and not _iso_on_slice_ok(scene, 0):
         return False, 0, False
     if scene.vol_slices and scene.vol_slices[0]:
         return False, 0, False
     if not scene.vol_meta:
         return False, 0, False
     return _slice_gate([scene.inst_minv[0]], directions)
+
+
+def _iso_on_slice_ok(scene: VolumeSceneData, v: int) -> bool:
+    """Isosurfaces run on the slice engine only for VMEM-resident bricks
+    (the kernel's gradient taps need the whole z-range in one dispatch;
+    slab-streamed bricks keep the gather march)."""
+    from gravit_tpu.ops.slice_march import SLAB_BYTES
+
+    nz, ny, nx = scene.vol_samples[v].shape[-3:]   # [-3:]: stacked scenes
+    return nz * ny * nx * 4 <= SLAB_BYTES
 
 
 def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
@@ -269,8 +282,9 @@ def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
 
     assert scene.num_volumes == 1 and scene.num_instances == 1
     assert not (scene.vol_subgrids and scene.vol_subgrids[0])
-    assert not (scene.vol_isovalues and scene.vol_isovalues[0])
     assert not (scene.vol_slices and scene.vol_slices[0])
+    if scene.vol_isovalues and scene.vol_isovalues[0]:
+        assert _iso_on_slice_ok(scene, 0)   # slab-streamed iso -> march
     if interpret is None:
         import os
         interpret = (os.environ.get("GRAVIT_PALLAS_INTERPRET", "0") == "1"
@@ -286,9 +300,11 @@ def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
     origin, spacing, (low, high) = scene.vol_meta[0]
     step = float(scene.vol_step[0])
     base = float(min(spacing))
+    isovals = (tuple(float(x) for x in scene.vol_isovalues[0])
+               if scene.vol_isovalues else ())
     meta = dict(axis=int(axis), flip=bool(flip), step=step, base_step=base,
                 low=low, high=high, origin=tuple(origin),
-                spacing=tuple(spacing))
+                spacing=tuple(spacing), isovalues=isovals)
 
     n0 = rays.capacity
     R = sm.RAYS_PER_BLOCK
@@ -306,7 +322,7 @@ def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "n0", "interpret", "use_reference", "axis", "flip",
-    "step", "base_step", "low", "high", "origin", "spacing"))
+    "step", "base_step", "low", "high", "origin", "spacing", "isovalues"))
 def _trace_volume_fast_jit(scene: VolumeSceneData, rays: RayArena,
                            width: int, height: int, n0: int,
                            *, interpret: bool, use_reference: bool,
@@ -369,9 +385,11 @@ def slice_axes_for(scene: VolumeSceneData, directions) -> tuple:
         uses = [iv == v for v in range(scene.num_volumes)]
     out = []
     for v in range(scene.num_volumes):
+        iso_blocks = (v < len(scene.vol_isovalues)
+                      and scene.vol_isovalues[v]
+                      and not _iso_on_slice_ok(scene, v))
         feature = ((v < len(scene.vol_subgrids) and scene.vol_subgrids[v])
-                   or (v < len(scene.vol_isovalues)
-                       and scene.vol_isovalues[v])
+                   or iso_blocks
                    or (v < len(scene.vol_slices) and scene.vol_slices[v]))
         if feature:
             out.append(None)

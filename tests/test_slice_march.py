@@ -120,9 +120,14 @@ def test_can_slice_march_gates():
     d_bad = np.concatenate([d_ok, np.array([[1.0, 0.0, 0.0]])])
     assert not can_slice_march(scene, d_bad)[0]
 
-    # feature gates
+    # feature gates: slices always fall back; isovalues ride the slice
+    # engine for VMEM-resident bricks (r5) and fall back above SLAB_BYTES
+    import jax.numpy as jnp
     scene_iso = scene.replace(vol_isovalues=((1.0,),))
-    assert not can_slice_march(scene_iso, d_ok)[0]
+    assert can_slice_march(scene_iso, d_ok)[0]
+    scene_iso_big = scene_iso.replace(
+        vol_samples=(jnp.zeros((160, 160, 160), jnp.float32),))
+    assert not can_slice_march(scene_iso_big, d_ok)[0]
     scene_sl = scene.replace(vol_slices=(((1.0, 0.0, 0.0, -1.0),),))
     assert not can_slice_march(scene_sl, d_ok)[0]
 
@@ -326,7 +331,86 @@ def test_slice_axes_for_short_feature_tuples():
     bricks = _bricked_wavelet(32)
     eye = np.eye(4, dtype=np.float32)
     scene = build_volume_scene(bricks, [(0, eye), (1, eye)])
-    short = scene.replace(vol_isovalues=((1.0,),))  # len 1 < num_volumes 2
+    # len 1 < num_volumes 2 — must not raise; slices always gate to the
+    # march, small-brick isovalues ride the slice engine (r5)
     d = np.tile(np.array([[0.0, 0.0, -1.0]]), (8, 1))
-    saxes = slice_axes_for(short, d)   # must not raise
+    short_sl = scene.replace(vol_slices=(((1.0, 0.0, 0.0, -1.0),),))
+    saxes = slice_axes_for(short_sl, d)
     assert saxes[0] is None and saxes[1] is not None
+    short_iso = scene.replace(vol_isovalues=((1.0,),))
+    saxes = slice_axes_for(short_iso, d)
+    assert saxes[0] is not None and saxes[1] is not None
+
+
+def test_iso_kernel_matches_reference():
+    """Isosurfaces on the slice engine (r5): the Pallas kernel's crossing
+    detection, gradient taps and headlight deposit must match the jnp
+    twin to ~1 ulp, and the volume-only path must be unchanged."""
+    _, _, _, args, meta = _setup()
+    o, d, act, c0, w0, S, cl, ol = args
+    iso = (float(np.asarray(S).mean()),)
+    c_r, w_r, f_r = slice_march_reference(o, d, act, c0, w0, S, cl, ol,
+                                          isovalues=iso, **meta)
+    c_k, w_k, f_k = slice_march(o, d, act, c0, w0, S, cl, ol,
+                                isovalues=iso, interpret=True, **meta)
+    assert (np.asarray(w_r) > 0.99).sum() > 50      # crossings actually fire
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_k), np.asarray(f_r))
+
+
+def test_iso_slice_close_to_march():
+    """Slice-engine iso vs the gather march's iso: same surface, different
+    sample ladders — crossings land within one plane of each other, so
+    agreement is image-level (interior tight; silhouette pixels where one
+    ladder grazes the surface and the other misses differ by design)."""
+    import jax.numpy as jnp
+
+    vol, cam, rays, args, meta = _setup()
+    o, d, act, c0, w0, S, cl, ol = args
+    iso = (float(np.asarray(S).mean()),)
+    c_s, w_s, _ = slice_march_reference(o, d, act, c0, w0, S, cl, ol,
+                                        isovalues=iso, **meta)
+    c_m, w_m, _ = march_brick(
+        o, d, act, c0, w0, S,
+        jnp.asarray(vol.origin), jnp.asarray(vol.spacing),
+        jnp.asarray(vol.bounds_min), jnp.asarray(vol.bounds_max),
+        cl, ol, jnp.asarray([vol.tf.low, vol.tf.high], jnp.float32),
+        float(vol.step_size()), vol.max_steps(), isovalues=iso)
+    c_s, w_s, c_m, w_m = map(np.asarray, (c_s, w_s, c_m, w_m))
+    ns, nm = (w_s > 0.99).sum(), (w_m > 0.99).sum()
+    assert abs(int(ns) - int(nm)) <= max(5, 0.05 * nm), (ns, nm)
+    d_ = np.abs(c_s - c_m)
+    assert d_.mean() < 8e-3, d_.mean()
+
+
+def test_trace_volume_fast_iso():
+    """The renderer-facing path: an iso volume now qualifies for
+    trace_volume_fast (small brick) and must agree with the gather-march
+    wavefront tracer at image level."""
+    from gravit_tpu.render.tracer import make_arena
+    from gravit_tpu.render.volume_scene import build_volume_scene
+    from gravit_tpu.render.volume_tracer import (can_slice_march,
+                                                 trace_volume,
+                                                 trace_volume_fast)
+
+    n, w, h = 32, 24, 24
+    vol = wavelet_volume(n)
+    vol.isovalues = [float(np.asarray(vol.samples).mean())]
+    scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
+    assert scene.vol_isovalues and scene.vol_isovalues[0]
+    cam = PerspectiveCamera(
+        eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=((n - 1) / 2,) * 3,
+        up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
+        film_width=w, film_height=h, samples=1, max_depth=1,
+        jitter_window=0.0)
+    rays = cam.generate_rays(volume=True)
+    ok, axis, flip = can_slice_march(scene, rays.direction)
+    assert ok
+    fb_f = np.asarray(trace_volume_fast(scene, rays, w, h,
+                                        axis=axis, flip=flip))
+    arena = make_arena(rays, 0)
+    fb_m = np.asarray(trace_volume(scene, arena, w, h, max_rounds=8))
+    err = np.abs(fb_f[:, :3] - fb_m[:, :3])
+    assert err.mean() < 8e-3, err.mean()
+    assert (fb_f[:, :3].sum(-1) > 0).sum() > 20

@@ -186,3 +186,74 @@ def test_ramp_tf_orientation():
     # the red/blue balance itself (the orientation signal): the eye-near
     # half is HIGH scalar -> blue deposits first -> blue dominates red
     assert (c_k[:, 2] > c_k[:, 0] * 1.5).all()
+
+
+def test_iso_crossing_analytic():
+    """Isosurface oracle: on the linear-ramp field the crossing plane,
+    the pre-crossing volume composite, the gradient (0, 0, c) and the
+    headlight shade (|n.v| = 1 for axis-aligned rays -> ISO_KA+ISO_KD)
+    are all analytic. Both the slice engines and the gather march must
+    deposit exactly (1 - w_pre) * rgb_tf(iso) * 1.0 on top of the
+    analytic pre-crossing composite, with w = 1 (opaque flags)."""
+    import jax
+
+    from gravit_tpu.core.rays import RAY_OPAQUE
+
+    amax = 0.06
+    iso = 0.47                      # strictly between two plane samples
+    zc = np.arange(NZ, dtype=np.float64)
+    samples = np.broadcast_to(zc[:, None, None] / (NZ - 1),
+                              (NZ, NZ, NZ)).astype(np.float32)
+    idx = np.arange(256, dtype=np.float64) / 255.0
+    color = np.stack([1.0 - idx, np.zeros(256), idx], axis=1)
+    color_lut = jnp.asarray(color, jnp.float32)
+    opacity_lut = jnp.asarray(idx * amax, jnp.float32)
+
+    o, d = _rays((0.0, 0.0, -1.0))
+
+    o_j = jnp.asarray(o, jnp.float32)
+    d_j = jnp.asarray(d, jnp.float32)
+    act = jnp.ones((N_RAYS,), bool)
+    c0 = jnp.zeros((N_RAYS, 3), jnp.float32)
+    w0 = jnp.zeros((N_RAYS,), jnp.float32)
+    S = jnp.asarray(samples, jnp.float32)
+    meta = dict(axis=2, flip=True, step=1.0, base_step=1.0,
+                low=0.0, high=1.0, origin=(0.0, 0.0, 0.0),
+                spacing=(1.0, 1.0, 1.0), isovalues=(iso,))
+    outs = []
+    c, w, f = slice_march(o_j, d_j, act, c0, w0, S, color_lut,
+                          opacity_lut, interpret=True, **meta)
+    outs.append((c, w, f))
+    c, w, f = slice_march_reference(o_j, d_j, act, c0, w0, S, color_lut,
+                                    opacity_lut, **meta)
+    outs.append((c, w, f))
+    c, w, f = march_brick(
+        o_j, d_j, act, c0, w0, S,
+        jnp.zeros(3), jnp.ones(3), jnp.zeros(3),
+        jnp.full((3,), float(NZ - 1)),
+        color_lut, opacity_lut, jnp.asarray([0.0, 1.0], jnp.float32),
+        1.0, 256, isovalues=(iso,), early_exit=False)
+    outs.append((c, w, f))
+
+    # oracle: ladder z = (NZ-1) - (k+0.5); cross at first plane with
+    # s < iso (descending ramp); composite planes before it, then the
+    # surface deposit with shade exactly ISO_KA + ISO_KD
+    def tf(s):
+        x = np.clip(s, 0.0, 1.0)
+        return np.array([1.0 - x, 0.0, x]), x * amax
+
+    z_planes = (NZ - 1) - (np.arange(NZ - 1) + 0.5)
+    s_planes = z_planes / (NZ - 1)
+    k_cross = int(np.argmax(s_planes < iso))
+    assert 0 < k_cross < NZ - 2
+    pairs = [tf(s) for s in s_planes[:k_cross]]
+    c_pre, w_pre = _composite([p[0] for p in pairs], [p[1] for p in pairs])
+    rgb_iso = tf(iso)[0]
+    c_exp = c_pre + (1.0 - w_pre) * rgb_iso * (0.4 + 0.6 * 1.0)
+
+    for c, w, f in outs:
+        c, w, f = np.asarray(c, np.float64), np.asarray(w), np.asarray(f)
+        np.testing.assert_allclose(w, 1.0, atol=1e-6)
+        assert (f == RAY_OPAQUE).all()
+        np.testing.assert_allclose(c, np.tile(c_exp, (N_RAYS, 1)),
+                                   atol=3e-4)
