@@ -10,6 +10,7 @@ Modes (first matching flag wins):
   --brute         jnp brute-force intersector
   --simple        25-instance (2-mesh) looped accel frame (multi-instance row)
   --volume        wavelet-volume slice-march megapass (one kernel dispatch)
+  --volume --iso  same brick with an isosurface on the slice engine
   --volume-march  wavelet-volume gather march (the arena path)
 
 Each mode reports BOTH the e2e ms/frame (includes the ~27 ms axon tunnel
@@ -203,13 +204,15 @@ def main_surface():
     _timed(frame, WIDTH * HEIGHT, mode, scan=scan)
 
 
-def _wavelet_setup():
+def _wavelet_setup(iso: bool = False):
     from gravit_tpu.render.volume_scene import build_volume_scene
     from gravit_tpu.scene.camera import PerspectiveCamera
     from gravit_tpu.scene.volume import wavelet_volume
 
     n = 64
     vol = wavelet_volume(n)
+    if iso:
+        vol.isovalues = [float(np.asarray(vol.samples).mean())]
     scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
     c = (n - 1) / 2.0
     cam = PerspectiveCamera(
@@ -228,7 +231,8 @@ def main_volume_fast():
     from gravit_tpu.render.volume_tracer import (can_slice_march,
                                                  trace_volume_fast)
 
-    scene, cam = _wavelet_setup()
+    iso = "--iso" in sys.argv
+    scene, cam = _wavelet_setup(iso=iso)
     rays0 = cam.generate_rays(volume=True)
     ok, axis, flip = can_slice_march(scene, rays0.direction)
     assert ok, "bench wavelet config must qualify for the slice march"
@@ -248,7 +252,7 @@ def main_volume_fast():
         _, fbs = jax.lax.scan(body, 0, ks)
         return jnp.sum(fbs, axis=0)
 
-    _timed(frame, WIDTH * HEIGHT, "volume-slice",
+    _timed(frame, WIDTH * HEIGHT, "volume-iso" if iso else "volume-slice",
            scan=lambda k: scan_frames(jnp.arange(k)))
 
 

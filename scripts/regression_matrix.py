@@ -288,6 +288,41 @@ def main():
         return f"max |d|={err:.1e}"
     row("vol", "march", "domain(2)", vol_domain)
 
+    def vol_iso_slice():
+        """Isosurface on the slice engine (r5) vs the gather march: same
+        surface on different ladders -> image-level agreement + crossing
+        counts within a few percent."""
+        from gravit_tpu.render.tracer import make_arena
+        from gravit_tpu.render.volume_scene import build_volume_scene
+        from gravit_tpu.render.volume_tracer import (can_slice_march,
+                                                     trace_volume,
+                                                     trace_volume_fast)
+        from gravit_tpu.scene.camera import PerspectiveCamera
+        from gravit_tpu.scene.volume import wavelet_volume
+
+        n = 32
+        vol = wavelet_volume(n)
+        vol.isovalues = [float(np.asarray(vol.samples).mean())]
+        vs = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
+        c = (n - 1) / 2.0
+        cam = PerspectiveCamera(
+            eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=(c, c, c),
+            up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
+            film_width=32, film_height=32, samples=1, max_depth=1,
+            jitter_window=0.0)
+        rays = cam.generate_rays(volume=True)
+        ok, axis, flip = can_slice_march(vs, rays.direction)
+        assert ok, "iso brick must qualify for the slice engine"
+        fb_f = np.asarray(trace_volume_fast(vs, rays, 32, 32,
+                                            axis=axis, flip=flip))
+        arena = make_arena(rays, 0)
+        fb_m = np.asarray(trace_volume(vs, arena, 32, 32, max_rounds=8))
+        err = np.abs(fb_f[:, :3] - fb_m[:, :3])
+        assert err.mean() < 8e-3, f"iso slice vs march mean {err.mean()}"
+        assert (fb_f[:, :3].sum(-1) > 0).sum() > 100
+        return f"mean |d|={err.mean():.1e}"
+    row("vol-iso", "slice-engine", "image-fast", vol_iso_slice)
+
     def amr_app():
         """examples/amr_app.py end-to-end (AmrApp.cpp:201-401 analog):
         the reference ballinthecorner.amrvol (VTK grids + subgrid tree)
@@ -313,7 +348,7 @@ def main():
     # ---- table + artifact ------------------------------------------------
     n_pass = sum(r["status"] == "PASS" for r in ROWS)
     print(f"\n{n_pass}/{len(ROWS)} rows pass")
-    out = ROOT / "REGRESSION_r04.json"
+    out = ROOT / "REGRESSION_r05.json"
     out.write_text(json.dumps({"pass": n_pass, "total": len(ROWS),
                                "rows": ROWS}, indent=1))
     print(f"wrote {out}")
