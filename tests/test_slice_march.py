@@ -414,3 +414,40 @@ def test_trace_volume_fast_iso():
     err = np.abs(fb_f[:, :3] - fb_m[:, :3])
     assert err.mean() < 8e-3, err.mean()
     assert (fb_f[:, :3].sum(-1) > 0).sum() > 20
+
+
+def test_slab_grid_kernel_matches_single():
+    """The single-dispatch slab-GRID kernel (r5: slabs on the outer grid
+    dim, windows pipelined, aliased color/w carry) must match the
+    whole-brick dispatch to 1 ulp. Needs nb >= 4 ray blocks to engage
+    (4096 rays); forcing 4-row windows makes 31 slabs at 32^3."""
+    import jax.numpy as jnp
+
+    from gravit_tpu.scene.camera import PerspectiveCamera
+
+    n = 32
+    vol = wavelet_volume(n)
+    cam = PerspectiveCamera(
+        eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=((n - 1) / 2,) * 3,
+        up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
+        film_width=64, film_height=64, samples=1, max_depth=1,
+        jitter_window=0.0)
+    rays = cam.generate_rays(volume=True)
+    N = rays.origin.shape[0]
+    assert N // 1024 >= 4
+    axis, flip = choose_slice_axis(np.asarray(rays.direction).mean(0))
+    meta = dict(axis=axis, flip=flip, step=float(vol.step_size()),
+                base_step=float(vol.spacing.min()),
+                low=float(vol.tf.low), high=float(vol.tf.high),
+                origin=tuple(float(x) for x in vol.origin),
+                spacing=tuple(float(x) for x in vol.spacing))
+    args = (rays.origin, rays.direction, jnp.ones((N,), bool),
+            jnp.zeros((N, 3)), jnp.zeros((N,)),
+            jnp.asarray(vol.samples), jnp.asarray(vol.tf.color_lut),
+            jnp.asarray(vol.tf.opacity_lut))
+    c_k, w_k, f_k = slice_march(*args, interpret=True, **meta)
+    c_s, w_s, f_s = slice_march(*args, interpret=True,
+                                slab_bytes=16 * 1024, **meta)
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_k), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_k), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_k))
