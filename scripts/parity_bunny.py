@@ -25,7 +25,7 @@ from gravit_tpu.scene.readers.obj import read_obj  # noqa: E402
 GOLDEN = "/root/reference/Test/CTESTtest/data/bunny.ppm"
 
 
-def bunny_scene(width=512, height=512, with_accel=False):
+def bunny_scene(width=512, height=512, with_accel=False, max_depth=1):
     mesh = read_obj("/root/reference/data/geom/bunny.obj")
     cm = mesh.compile()
     scene = build_scene(
@@ -36,7 +36,7 @@ def bunny_scene(width=512, height=512, with_accel=False):
     cam = PerspectiveCamera(
         eye=(0.0, 0.1, 0.3), focus=(0.0, 0.1, -0.3), up=(0.0, 1.0, 0.0),
         fov=float(45.0 * np.pi / 180.0), film_width=width, film_height=height,
-        samples=1, max_depth=1, jitter_window=0.0)
+        samples=1, max_depth=max_depth, jitter_window=0.0)
     if with_accel:
         return scene, cam, accel
     return scene, cam
