@@ -168,21 +168,30 @@ def _next_instance(scene: SceneData, origin, direction, t_max, prev,
         t_entry = jnp.where(found,
                             jnp.max(jnp.minimum(l1, u1), axis=-1), FLT_MAX)
         return found, nxt, t_entry
-    # (N, I) slab tests against every instance AABB
-    l = (scene.inst_lo[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
-    u = (scene.inst_hi[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
-    tnear = jnp.max(jnp.minimum(l, u), axis=-1)
-    tfar = jnp.min(jnp.maximum(l, u), axis=-1)
-    hit = (
-        (tfar > tnear)
-        & (tnear > RAY_EPSILON)
-        & (tnear < t_max[:, None])
-        & (jnp.arange(scene.num_instances)[None, :] != prev[:, None])
-    )
-    tnear = jnp.where(hit, tnear, FLT_MAX)
-    nxt = jnp.argmin(tnear, axis=1).astype(jnp.int32)
-    t_entry = jnp.take_along_axis(tnear, nxt[:, None], axis=1)[:, 0]
-    return t_entry < FLT_MAX, nxt, t_entry
+    # brute scan: statically-unrolled loop over instances with a running
+    # min, all ops at (N,) lane width. The old (N, I, 3) broadcast put
+    # the 3-axis in the MINOR dim (3/128 lane utilization — ~4 ms/round
+    # at 262K x 25 on v5e, the largest single sub-stage of a fast-multi
+    # round; scripts/micro_multi2.py). Running strict-< keeps the
+    # smallest instance index on ties, exactly argmin's behavior.
+    I = int(scene.num_instances)
+    n = origin.shape[0]
+    best_t = jnp.full((n,), FLT_MAX, jnp.float32)
+    best_i = jnp.zeros((n,), jnp.int32)
+    for i in range(I):
+        tn = jnp.full((n,), -FLT_MAX, jnp.float32)
+        tf = jnp.full((n,), FLT_MAX, jnp.float32)
+        for ax in range(3):
+            a = (scene.inst_lo[i, ax] - origin[:, ax]) * inv_dir[:, ax]
+            b = (scene.inst_hi[i, ax] - origin[:, ax]) * inv_dir[:, ax]
+            tn = jnp.maximum(tn, jnp.minimum(a, b))
+            tf = jnp.minimum(tf, jnp.maximum(a, b))
+        hit_i = ((tf > tn) & (tn > RAY_EPSILON) & (tn < t_max)
+                 & (prev != i))
+        closer = hit_i & (tn < best_t)
+        best_t = jnp.where(closer, tn, best_t)
+        best_i = jnp.where(closer, i, best_i)
+    return best_t < FLT_MAX, best_i, best_t
 
 
 def _cosine_hemisphere(normal: jax.Array, xi: jax.Array) -> jax.Array:
@@ -204,6 +213,12 @@ def _cosine_hemisphere(normal: jax.Array, xi: jax.Array) -> jax.Array:
     z = jnp.cross(x, y)
     d = x * xs[:, None] + y * ys[:, None] + z * zs[:, None]
     return d / _safe_norm(d, keepdims=True)
+
+
+# mesh-count crossover between the in-place per-(mesh, shadow) passes and
+# the segment-aligned pack inside _intersect_bvh (tests pin both paths by
+# overriding this)
+INPLACE_MESH_LIMIT = 8
 
 
 def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
@@ -270,6 +285,41 @@ def _intersect_bvh(scene: SceneData, accel, o_obj, d_obj, ray_mesh, queued,
             return one_pass(best, queued, False)
         best = one_pass(best, queued & ~is_shadow, False)
         return one_pass(best, queued & is_shadow, True)
+
+    # ---- multi-mesh, small M: IN-PLACE per-(mesh, shadow) passes ---------
+    # The kernel skips blocks whose root is -1, so a pass for mesh m with
+    # valid = (ray_mesh == m) only traverses blocks actually holding
+    # mesh-m lanes — with tile-coherent wavefronts those are ~disjoint
+    # across meshes, so total kernel work matches the packed dispatch
+    # while the pack/unsort glue (one-hot ranks + padded-arena gather +
+    # result unsort, ~10 ms/round at 262K on v5e — the r5 micro_multi
+    # finding) disappears entirely. Per-lane results are exact closest
+    # hits independent of packet composition, so this is bit-equal to
+    # the packed path (tests/test_segment_dispatch). Large mesh counts
+    # keep the packed path: 2M dispatches would pay 2M grid launches
+    # against the pack's fixed cost.
+    if M <= INPLACE_MESH_LIMIT:
+        nb_ip = n // PACKET
+        best = Hit(
+            t=jnp.full((n,), FLT_MAX, jnp.float32),
+            prim=jnp.full((n,), -1, jnp.int32),
+            u=jnp.zeros((n,), jnp.float32),
+            v=jnp.zeros((n,), jnp.float32),
+        )
+        shadow_sets = (((None, False),) if is_shadow is None
+                       else ((~is_shadow, False), (is_shadow, True)))
+        for mesh_id in range(M):
+            mesh_sel = queued & (ray_mesh == mesh_id)
+            for sh_mask, ah in shadow_sets:
+                sel = mesh_sel if sh_mask is None else (mesh_sel & sh_mask)
+                has = jnp.any(sel.reshape(nb_ip, PACKET), axis=1)
+                block_root = jnp.where(has, accel.mesh_root[mesh_id], -1)
+                t, gprim, u, v = run(o_obj, d_obj, sel, block_root, ah)
+                best = Hit(t=jnp.where(sel, t, best.t),
+                           prim=jnp.where(sel, gprim, best.prim),
+                           u=jnp.where(sel, u, best.u),
+                           v=jnp.where(sel, v, best.v))
+        return best
 
     # ---- multi-mesh: segment-aligned packing, <=2 dispatches total -------
     S = 2 * M                         # segments: (mesh, shadow) pairs
@@ -843,6 +893,24 @@ def _dense_spawn_deposit(fb, spawn, deposit, n_lanes: int, n0: int,
     return fb + per_pixel
 
 
+def _live_first_sel(live, thresh: int):
+    """First `thresh` lane indices in (live-first, stable lane order) —
+    exactly the order `jnp.argsort(~live, stable=True)[:thresh]`
+    produces, built from two cumsums + one int scatter instead of a sort
+    (sorts are ~10x a cumsum at arena width, scripts/micro_tpu4.py)."""
+    n = live.shape[0]
+    li = live.astype(jnp.int32)
+    rank_live = jnp.cumsum(li) - li
+    dead = 1 - li
+    rank_dead = jnp.cumsum(dead) - dead
+    n_live = rank_live[-1] + li[-1]
+    pos = jnp.where(live, rank_live, n_live + rank_dead)
+    return jnp.zeros((thresh,), jnp.int32).at[
+        jnp.where(pos < thresh, pos, thresh)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "max_rounds", "samples",
@@ -974,8 +1042,7 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
 
     # stage 2: compact live lanes (guaranteed <= thresh) and finish there
     live = arena.active
-    order = jnp.argsort(~live, stable=True)       # live lanes first
-    sel = order[:thresh]
+    sel = _live_first_sel(live, thresh)           # live lanes first
     arena_s = jax.tree.map(lambda a: a[sel], arena)
     hit_s = jax.tree.map(lambda a: a[sel], hit)
 
@@ -1054,8 +1121,7 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
         c1_body, state0)
 
     livec = c_live(state, s_valid)
-    order_c = jnp.argsort(~livec, stable=True)
-    sel_c = order_c[:c_thresh]
+    sel_c = _live_first_sel(livec, c_thresh)
     small = tuple(a[sel_c] for a in state[1:])
     c2_body = c_body_at(s_dir0[sel_c], s_tmax0[sel_c], s_valid[sel_c],
                         c_thresh)

@@ -120,3 +120,45 @@ def test_segment_dispatch_no_shadow_and_all_dead():
                          is_shadow=jnp.zeros((n,), bool))
     assert np.all(np.asarray(got.prim) == -1)
     assert np.all(np.asarray(got.t) >= FLT_MAX)
+
+
+def test_packed_path_matches_inplace():
+    """The r5 in-place per-(mesh, shadow) strategy serves M <= LIMIT; the
+    packed path must stay live and BIT-equal to it (it serves large mesh
+    counts and is the reference construction)."""
+    import gravit_tpu.render.tracer as tracer_mod
+
+    meshes = [scenes.cone_mesh(), scenes.cube_mesh(), _scaled_cone()]
+    accel = build_scene_bvh(meshes)
+
+    rng = np.random.default_rng(23)
+    n = 2048
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o *= 2.0 / np.linalg.norm(o, axis=1, keepdims=True)
+    d = -o + 0.3 * rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ray_mesh = jnp.asarray(rng.integers(0, 3, size=n, dtype=np.int32))
+    queued = jnp.asarray(rng.random(n) < 0.4)
+    is_shadow = jnp.asarray(rng.random(n) < 0.5)
+
+    got_ip = _intersect_bvh(None, accel, o, d, ray_mesh, queued,
+                            is_shadow=is_shadow)
+    limit = tracer_mod.INPLACE_MESH_LIMIT
+    tracer_mod.INPLACE_MESH_LIMIT = 0      # force the packed path
+    try:
+        got_pk = _intersect_bvh(None, accel, o, d, ray_mesh, queued,
+                                is_shadow=is_shadow)
+    finally:
+        tracer_mod.INPLACE_MESH_LIMIT = limit
+    q = np.asarray(queued)
+    sh = np.asarray(is_shadow)
+    primary = q & ~sh
+    np.testing.assert_array_equal(np.asarray(got_ip.prim)[primary],
+                                  np.asarray(got_pk.prim)[primary])
+    np.testing.assert_array_equal(np.asarray(got_ip.t)[primary],
+                                  np.asarray(got_pk.t)[primary])
+    # shadow lanes: occlusion verdicts identical (any-hit may report
+    # different witnesses)
+    np.testing.assert_array_equal((np.asarray(got_ip.prim) >= 0)[q & sh],
+                                  (np.asarray(got_pk.prim) >= 0)[q & sh])
