@@ -84,6 +84,10 @@ class SceneData:
     mesh_tri_count: tuple = struct.field(pytree_node=False, default=())
     has_embree_materials: bool = struct.field(pytree_node=False,
                                               default=False)
+    # any phong/blinn triangles? False lets shade() statically skip the
+    # two jnp.power specular branches (~6 ms/frame at 262K on v5e for
+    # lambert-only scenes — scripts/micro_multi4.py)
+    has_specular: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_triangles(self) -> int:
@@ -226,6 +230,8 @@ def build_scene(meshes: Sequence[CompiledMesh],
         mesh_tri_offset=tuple(offsets),
         mesh_tri_count=tuple(counts),
         has_embree_materials=bool(np.any(np.asarray(tri_mat_type) >= 3)),
+        has_specular=bool(np.any((np.asarray(tri_mat_type) == 1)
+                                 | (np.asarray(tri_mat_type) == 2))),
     )
 
 

@@ -613,7 +613,8 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         ndotl = jnp.maximum(0.0, jnp.sum(normal * wi, axis=-1))
         valid = mask & (ndotl > 0.0) & jnp.any(li_contrib != 0.0, axis=-1)
         c = shade_full(mat_type, kd, ks, alpha, embree_params,
-                       arena.direction, w_now, normal, wi)
+                       arena.direction, w_now, normal, wi,
+                       has_specular=scene.has_specular)
         c = jnp.clip(c * li_contrib, 0.0, 1.0)
 
         sdir = lpos - s_origin  # UNnormalized (cpp:346)
@@ -864,22 +865,15 @@ def _tile_remap(rays: RayArena, width: int, height: int, T: int):
     return jax.tree.map(to_tiles, rays)
 
 
-def _dense_spawn_deposit(fb, spawn, deposit, n_lanes: int, n0: int,
-                         samples: int, tiled: bool, width: int, height: int,
-                         T: int):
-    """Whole-film dense shadow deposit: the camera emits lanes in
-    ((j*W+i)*S+k)*S+s order, so pixel == lane // S^2 and spawn row
-    li*n + lane maps back by reshape — a DENSE per-(light, sample) add
-    with no pixel-id scatter (a 262K-row scatter costs ~15 ms/frame at
-    512^2 on v5e, scripts/micro_stages.py)."""
-    m = spawn.shape[0]
-    color = spawn[:, 6:9]
-    rgba = jnp.concatenate(
-        [color * spawn[:, 11:12], jnp.ones((m, 1), jnp.float32)], axis=1)
-    rgba = jnp.where(deposit[:, None], rgba, 0.0)
+def _per_lane_to_fb(fb, per_lane, n0: int, samples: int, tiled: bool,
+                    width: int, height: int, T: int):
+    """(n_lanes, 4) per-lane rgba -> framebuffer add: the camera emits
+    lanes in ((j*W+i)*S+k)*S+s order, so pixel == lane // S^2 (tiled
+    films additionally undo the tile permutation) — no pixel-id scatter
+    anywhere (a 262K-row scatter costs ~15 ms/frame at 512^2 on v5e,
+    scripts/micro_stages.py)."""
     ss = samples * samples
     n_pix = fb.shape[0]
-    per_lane = rgba.reshape(m // n_lanes, n_lanes, 4).sum(axis=0)
     if tiled:
         # undo the tile permutation: lane (tr, tc, r, c) -> pixel row
         # tr*T + r, col tc*T + c
@@ -891,6 +885,21 @@ def _dense_spawn_deposit(fb, spawn, deposit, n_lanes: int, n0: int,
         per_pixel = (per_lane[:n_pix * ss]
                      .reshape(n_pix, ss, 4).sum(axis=1))
     return fb + per_pixel
+
+
+def _dense_spawn_deposit(fb, spawn, deposit, n_lanes: int, n0: int,
+                         samples: int, tiled: bool, width: int, height: int,
+                         T: int):
+    """Whole-film dense shadow deposit: spawn row li*n + lane maps back
+    to its lane by reshape, then _per_lane_to_fb's dense add."""
+    m = spawn.shape[0]
+    color = spawn[:, 6:9]
+    rgba = jnp.concatenate(
+        [color * spawn[:, 11:12], jnp.ones((m, 1), jnp.float32)], axis=1)
+    rgba = jnp.where(deposit[:, None], rgba, 0.0)
+    per_lane = rgba.reshape(m // n_lanes, n_lanes, 4).sum(axis=0)
+    return _per_lane_to_fb(fb, per_lane, n0, samples, tiled, width,
+                           height, T)
 
 
 def _live_first_sel(live, thresh: int):
@@ -1059,18 +1068,57 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
                        hit, hit_s)
     hitr = hitr.at[sel].set(hitr_s)
 
-    # ---- phase B: one dense shade + spawn over all hits ------------------
+    # ---- phases B + C ------------------------------------------------------
+    # NEGATIVE RESULT (r5, measured on v5e): compacting B + C to an n/2
+    # rank-ordered width made the frame SLOWER (58.6 vs 52.4 ms device on
+    # simple 25-inst): the any-hit kernel already skips blocks with no
+    # valid lanes, so its work never halved, while the rank reorder broke
+    # the film-tile packet frusta (looser node unions) and the
+    # compaction/expansion gathers added glue. Recorded so it is not
+    # retried blindly; both phases run at full width, in film-tile order.
     resolved = hit.prim >= 0
     arena = arena.replace(active=resolved)
-    arena, fb, spawn = _process_surface_hits(
-        scene, arena, fb, hit, resolved, hitr, no_bounce=True)
-
-    # ---- phase C: shadow any-hit resolution on the dense spawn matrix ----
-    # Same two-stage shape as phase A: full width while > m//8 rows live,
-    # then compact the hopping tail.
-    m = spawn.shape[0]
-    if m == 0:
+    L = int(scene.num_lights)
+    if L == 0:
         return image_lib.clamp_rgb(fb)
+
+    if dense_deposit:
+        spawn, dep = _multi_resolve(scene, fb, arena, hit, hitr,
+                                    closest, max_rounds)
+        per_lane = _spawn_rgba(spawn, dep).reshape(L, n, 4).sum(axis=0)
+        fb = _per_lane_to_fb(fb, per_lane, n0, samples, tiled,
+                             width, height, T)
+    else:
+        spawn, dep = _multi_resolve(scene, fb, arena, hit, hitr,
+                                    closest, max_rounds)
+        m = spawn.shape[0]
+        fb = image_lib.local_add(
+            fb, spawn[:, 12].astype(jnp.int32),
+            spawn[:, 6:9] * spawn[:, 11:12],
+            jnp.ones((m,), jnp.float32), dep)
+    return image_lib.clamp_rgb(fb)
+
+
+def _spawn_rgba(spawn, deposit):
+    """(m, 4) rgba rows for depositing spawn contributions (color*w, 1)."""
+    m = spawn.shape[0]
+    rgba = jnp.concatenate(
+        [spawn[:, 6:9] * spawn[:, 11:12], jnp.ones((m, 1), jnp.float32)],
+        axis=1)
+    return jnp.where(deposit[:, None], rgba, 0.0)
+
+
+def _multi_resolve(scene, fb, arena, hit, hitr, closest, max_rounds):
+    """fast-multi phases B + C at the CALLER's width: one dense shade +
+    spawn over the resolved hits, then the shadow any-hit hop loop
+    (full-width rounds while > m//8 rows live, compacted tail after).
+    Returns (spawn, deposit_mask)."""
+    from gravit_tpu.ops.pallas_bvh import PACKET
+
+    arena, fb, spawn = _process_surface_hits(
+        scene, arena, fb, hit, arena.active, hitr, no_bounce=True)
+
+    m = spawn.shape[0]
     s_valid = spawn[:, 15] > 0.5
     s_origin0 = spawn[:, 0:3]
     s_dir0 = spawn[:, 3:6]
@@ -1134,15 +1182,7 @@ def trace_image_fast_multi(scene: SceneData, rays: RayArena, width: int,
 
     deposit = (s_valid & ~dead & done
                & (jnp.sum(spawn[:, 6:9] ** 2, axis=-1) > 0.0))
-    if dense_deposit:
-        fb = _dense_spawn_deposit(fb, spawn, deposit, n, n0, samples,
-                                  tiled, width, height, T)
-    else:
-        fb = image_lib.local_add(
-            fb, spawn[:, 12].astype(jnp.int32),
-            spawn[:, 6:9] * spawn[:, 11:12],
-            jnp.ones((m,), jnp.float32), deposit)
-    return image_lib.clamp_rgb(fb)
+    return spawn, deposit
 
 
 @functools.partial(jax.jit,

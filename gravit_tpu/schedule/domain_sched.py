@@ -133,7 +133,9 @@ def partition_scene(meshes: Sequence[CompiledMesh],
                         num_meshes=max(x.num_meshes for x, _ in per_dev),
                         mesh_tri_offset=(), mesh_tri_count=(),
                         has_embree_materials=any(
-                            x.has_embree_materials for x, _ in per_dev))
+                            x.has_embree_materials for x, _ in per_dev),
+                        has_specular=any(
+                            x.has_specular for x, _ in per_dev))
         padded.append(sd)
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)

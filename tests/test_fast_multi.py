@@ -66,10 +66,15 @@ def test_fast_multi_brute_point_light():
 
 
 def test_fast_multi_brute_two_lights():
+    # 1-ulp tolerance: the r5 has_specular static gate changes XLA's
+    # fusion grouping differently in the megapass and looped contexts
+    # (3 pixels at 1.5e-8 on this scene); bytes must match exactly and
+    # the reference goldens stay byte-exact (scripts/parity_simple.py)
     _, scene, cam = _cube_row(
         [point_light((4.0, 4.0, 0.0), (1.0, 0.8, 0.6)),
          ambient_light((0.1, 0.1, 0.2))])
-    _assert_equal(scene, cam)
+    _assert_equal(scene, cam, atol=3e-7)
+    _assert_bytes_equal(scene, cam)
 
 
 def test_fast_multi_accel_interpret():
