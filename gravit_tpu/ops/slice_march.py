@@ -125,6 +125,44 @@ ISO_KD = 0.6
 ISO_H = 0.5
 
 
+
+
+def _sub_affine(sub, origin_a, spacing_a, axis: int, flip: bool,
+                nz: int, w_sub: int, w_lane: int):
+    """Per-subgrid affine maps from PERMUTED main-grid coords (gx, gy,
+    zg) into the subgrid's own grid coords, plus the inside-bounds in
+    subgrid coords — all traced scalars (AMR subgrid placement is data).
+    The subgrid is permuted with the SAME axis but NOT flipped; the
+    z map folds the main flip in (zu = c0 + c1*zg).
+
+    Returns (Ss, (Ax, Bx, Ay, By, Az, Bz),
+             (lx0, lx1, ly0, ly1, lz0, lz1))."""
+    sub_samples, sub_origin, sub_spacing, sub_lo, sub_hi = sub
+    Ss, _, _ = _permute_volume(sub_samples, axis, False)
+    so = jnp.asarray(sub_origin, jnp.float32)
+    ss = jnp.asarray(sub_spacing, jnp.float32)
+    slo = jnp.asarray(sub_lo, jnp.float32)
+    shi = jnp.asarray(sub_hi, jnp.float32)
+    c0 = float(nz - 1) if flip else 0.0
+    c1 = -1.0 if flip else 1.0
+
+    def amap(w, c0_, c1_):
+        A = (origin_a[w] + c0_ * spacing_a[w] - so[w]) / ss[w]
+        B = c1_ * spacing_a[w] / ss[w]
+        return A, B
+
+    Ax, Bx = amap(w_lane, 0.0, 1.0)
+    Ay, By = amap(w_sub, 0.0, 1.0)
+    Az, Bz = amap(axis, c0, c1)
+
+    def bounds(w):
+        return (slo[w] - so[w]) / ss[w], (shi[w] - so[w]) / ss[w]
+
+    lx0, lx1 = bounds(w_lane)
+    ly0, ly1 = bounds(w_sub)
+    lz0, lz1 = bounds(axis)
+    return Ss, (Ax, Bx, Ay, By, Az, Bz), (lx0, lx1, ly0, ly1, lz0, lz1)
+
 @functools.partial(jax.jit, static_argnames=(
     "axis", "flip", "step", "base_step", "spacing", "isovalues"))
 def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
@@ -132,7 +170,7 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
                           *, axis: int, flip: bool, step: float,
                           base_step: float, low, high,
                           origin, spacing: tuple,
-                          isovalues: tuple = ()):
+                          isovalues: tuple = (), subgrids=()):
     """Pure-jnp twin of the Pallas kernel: identical plane discretization,
     hat-weight bilinear, TF lerp and compositing — the validation oracle
     (kernel vs this: tolerance ~1e-5) and the differentiable path.
@@ -155,6 +193,16 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
     deposit (ISO_KA + ISO_KD*|n.v|, the march's surface_deposit) lands
     after the ladder. Discretization matches the slice engine, so images
     agree with the gather march at the same tolerance as the volume path.
+
+    subgrids: AMR nesting at engine speed (PVolAdapter role) — tuple of
+    (samples, origin, spacing, lo, hi) coarse -> fine (Volume.h griddata
+    order, finer overrides). Each plane's sample is overridden for rays
+    whose object position lies inside a subgrid: the subgrid's own grid
+    coords are an AFFINE map of (gx, gy, zg) (both grids are axis-
+    aligned in object space), so the override costs one more z-lerp +
+    hat-matmul resample per subgrid per plane — still zero gathers.
+    Same sample ladder as the main grid (exactly march_brick's AMR
+    sampling, which marches the main-step ladder through sample_amr).
     """
     origin_a = jnp.asarray(origin, jnp.float32)
     spacing_a = jnp.asarray(spacing, jnp.float32)
@@ -182,12 +230,18 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
         t_out = jnp.minimum(t_out, jnp.maximum(a, b))
     t_in = jnp.maximum(t_in, 0.0)
 
-    xs = jnp.arange(nL, dtype=jnp.float32)
-    ys = jnp.arange(nS, dtype=jnp.float32)
     n = ox.shape[0]
     # per-iso surface rgb: the march's apply_tf at the iso value
     iso_rgb = [_apply_tf_formula(color_lut, opacity_lut, low, high,
                                  jnp.float32(v))[0] for v in isovalues]
+    subs = [_sub_affine(sub, origin_a, spacing_a, axis, flip, nz,
+                        w_sub, w_lane) for sub in subgrids]
+    # iotas sized for the LARGEST grid (a refined octant can out-cell
+    # the main brick along an axis)
+    nL_max = max([nL] + [Ss.shape[2] for Ss, _, _ in subs])
+    nS_max = max([nS] + [Ss.shape[1] for Ss, _, _ in subs])
+    xs = jnp.arange(nL_max, dtype=jnp.float32)
+    ys = jnp.arange(nS_max, dtype=jnp.float32)
 
     def body(carry, k):
         (color, w, s_prev, have_prev, crossed, w_pre,
@@ -199,10 +253,37 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
         t_k = (zg - oz) * iz
         gx = jnp.clip(ox + t_k * dx, 0.0, float(nL - 1))
         gy = jnp.clip(oy + t_k * dy, 0.0, float(nS - 1))
-        Wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None] - xs[None, :]))
-        Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None] - ys[None, :]))
+        Wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None] - xs[None, :nL]))
+        Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None] - ys[None, :nS]))
         t1 = jnp.dot(Wx, Sz.T, preferred_element_type=jnp.float32)
         s = jnp.sum(t1 * Wy, axis=1)                        # (N,)
+        # AMR override: finer grids LAST (they win); raw (unclamped)
+        # main-grid coords map affinely into each subgrid
+        gx_raw = ox + t_k * dx
+        gy_raw = oy + t_k * dy
+        for Ss, (Ax, Bx, Ay, By, Az, Bz), bb in subs:
+            nzs, nSs, nLs = Ss.shape
+            lx0, lx1, ly0, ly1, lz0, lz1 = bb
+            gxs = Ax + Bx * gx_raw
+            gys = Ay + By * gy_raw
+            zs = Az + Bz * zg
+            in_sub = ((gxs >= lx0) & (gxs <= lx1)
+                      & (gys >= ly0) & (gys <= ly1)
+                      & (zs >= lz0) & (zs <= lz1))
+            l0s = jnp.clip(jnp.floor(zs).astype(jnp.int32), 0, nzs - 2)
+            fzs = jnp.clip(zs - l0s, 0.0, 1.0)
+            Szs = Ss[l0s] * (1.0 - fzs) + Ss[l0s + 1] * fzs
+            gxs_c = jnp.clip(gxs, 0.0, float(nLs - 1))
+            gys_c = jnp.clip(gys, 0.0, float(nSs - 1))
+            Wxs = jnp.maximum(
+                0.0, 1.0 - jnp.abs(gxs_c[:, None]
+                                   - xs[None, :nLs]))
+            Wys = jnp.maximum(
+                0.0, 1.0 - jnp.abs(gys_c[:, None]
+                                   - ys[None, :nSs]))
+            t1s = jnp.dot(Wxs, Szs.T, preferred_element_type=jnp.float32)
+            s_sub = jnp.sum(t1s * Wys, axis=1)
+            s = jnp.where(in_sub, s_sub, s)
         valid = active & (t_k >= t_in) & (t_k < t_out)
         inside = valid & (w < OPACITY_TERMINATION)
 
@@ -300,9 +381,10 @@ def _lut_lookup(tf_ref, ch: int, idx, R: int):
     return jnp.concatenate(cols, axis=1)         # (8, R)
 
 
-def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem, *,
+def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
+                 sub_refs=(), sub_smem=(), *,
                  nz: int, nS: int, nL: int, dzg: float, n_planes: int,
-                 isovalues: tuple = ()):
+                 isovalues: tuple = (), sub_shapes: tuple = ()):
     """March one RAYS_PER_BLOCK block of rays through the z-window
     [off, z_hi] of S_ref; returns the updated (12, R) ray rows (color/w
     in rows 8:12). Shared by the whole-brick kernel (_slice_kernel) and
@@ -310,6 +392,11 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem, *,
 
     iso_smem: traced scalars (rgb per isovalue, then the three permuted-
     axis spacings) read from SMEM by the caller; () when no isovalues.
+    sub_refs/sub_smem/sub_shapes: AMR subgrids — per sub a permuted
+    (nzs, nSs, nLs) VMEM volume, 12 SMEM scalars (the affine maps from
+    main-grid coords + inside bounds, _sub_affine) and the static
+    shape. Each plane's sample is overridden inside a subgrid by one
+    more z-lerp + hat-matmul resample (finer grids last, zero gathers).
 
     isovalues (static): per plane, sign-change detection against the
     previous in-brick sample; the first crossing freezes the ray (w=1)
@@ -362,6 +449,11 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem, *,
 
     sub_iota = jax.lax.broadcasted_iota(
         jnp.int32, (max(nS, nL), R), 0).astype(jnp.float32)
+    # per-subgrid iotas at their EXACT row counts: a partial slice of a
+    # larger iota crashed the Mosaic compiler (limits[i] <= dim(i))
+    amr_iotas = [jax.lax.broadcasted_iota(
+        jnp.int32, (max(sh[1], sh[2]), R), 0).astype(jnp.float32)
+        for sh in sub_shapes]
     zrow = jnp.zeros((1, R), jnp.float32)
 
     def batch_body(state):
@@ -385,7 +477,40 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem, *,
             Wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx - sub_iota[:nL]))
             t1 = jnp.dot(Sz, Wx, preferred_element_type=jnp.float32)
             Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy - sub_iota[:nS]))
-            s_rows.append(jnp.sum(t1 * Wy, axis=0, keepdims=True))
+            s_row = jnp.sum(t1 * Wy, axis=0, keepdims=True)
+            if sub_shapes:
+                # AMR override (finer grids last); raw coords map
+                # affinely into each subgrid (_sub_affine)
+                gx_raw = ox + t_k * dx
+                gy_raw = oy + t_k * dy
+                for si, sh in enumerate(sub_shapes):
+                    nzs, nSs, nLs = sh
+                    (Ax, Bx, Ay, By, Az, Bz, lx0, lx1, ly0, ly1,
+                     lz0, lz1) = sub_smem[12 * si:12 * si + 12]
+                    Ss_ref = sub_refs[si]
+                    gxs = Ax + Bx * gx_raw
+                    gys = Ay + By * gy_raw
+                    zs = Az + Bz * zg
+                    in_sub = ((gxs >= lx0) & (gxs <= lx1)
+                              & (gys >= ly0) & (gys <= ly1)
+                              & (zs >= lz0) & (zs <= lz1))
+                    l0s = jnp.clip(jnp.floor(zs).astype(jnp.int32),
+                                   0, nzs - 2)
+                    fzs = jnp.clip(zs - l0s.astype(jnp.float32),
+                                   0.0, 1.0)
+                    Szs = (Ss_ref[l0s] * (1.0 - fzs)
+                           + Ss_ref[l0s + 1] * fzs)
+                    gxs_c = jnp.clip(gxs, 0.0, float(nLs - 1))
+                    gys_c = jnp.clip(gys, 0.0, float(nSs - 1))
+                    Wxs = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(gxs_c - amr_iotas[si][:nLs]))
+                    t1s = jnp.dot(Szs, Wxs,
+                                  preferred_element_type=jnp.float32)
+                    Wys = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(gys_c - amr_iotas[si][:nSs]))
+                    s_sub = jnp.sum(t1s * Wys, axis=0, keepdims=True)
+                    s_row = jnp.where(in_sub, s_sub, s_row)
+            s_rows.append(s_row)
             valid = ((t_k >= t_in) & (t_k < t_out)
                      & (k < n_planes) & act)
             # masks ride as f32 rows: Mosaic cannot relayout i1 vregs
@@ -500,20 +625,26 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem, *,
                            axis=0)
 
 
-def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, out_ref, *,
+def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, *rest,
                   nz: int, nS: int, nL: int, dzg: float, n_planes: int,
-                  isovalues: tuple = ()):
+                  isovalues: tuple = (), sub_shapes: tuple = ()):
     """Whole-brick / host-stepped-slab kernel: one grid step = one ray
     block. slab_ref (SMEM, 4 + iso extras): (off, z_hi, low, high) then
     per-iso surface rgb and the permuted-axis spacings (see _march_block).
     Whole-brick calls pass off=0, z_hi=nz-1; the host-loop slab path
     passes each window and carries color/w between calls."""
+    sub_refs = tuple(rest[:len(sub_shapes)])
+    out_ref = rest[len(sub_shapes)]
     n_iso_smem = 3 * len(isovalues) + 3 if isovalues else 0
     iso_smem = tuple(slab_ref[4 + k] for k in range(n_iso_smem))
+    sub_smem = tuple(slab_ref[4 + n_iso_smem + k]
+                     for k in range(12 * len(sub_shapes)))
     out = _march_block(ray_ref[0], S_ref, tf_ref,
                        slab_ref[0], slab_ref[1], slab_ref[2], slab_ref[3],
-                       iso_smem, nz=nz, nS=nS, nL=nL, dzg=dzg,
-                       n_planes=n_planes, isovalues=isovalues)
+                       iso_smem, sub_refs, sub_smem,
+                       nz=nz, nS=nS, nL=nL, dzg=dzg,
+                       n_planes=n_planes, isovalues=isovalues,
+                       sub_shapes=sub_shapes)
     out_ref[0] = out[8:12, :]
 
 
@@ -610,11 +741,13 @@ def _run_slice_slab_kernel(fields, slabs, tf_tab, win, lowhigh, *, nb,
 
 
 def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
-                      n_planes, interpret, isovalues=()):
+                      n_planes, interpret, isovalues=(), subs=()):
     R = RAYS_PER_BLOCK
+    sub_shapes = tuple(a.shape for a in subs)
     return pl.pallas_call(
         functools.partial(_slice_kernel, nz=nz, nS=nS, nL=nL, dzg=dzg,
-                          n_planes=n_planes, isovalues=isovalues),
+                          n_planes=n_planes, isovalues=isovalues,
+                          sub_shapes=sub_shapes),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -624,12 +757,13 @@ def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tf_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + [pl.BlockSpec(a.shape, lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM) for a in subs],
         out_specs=pl.BlockSpec((1, 4, R), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 4, R), jnp.float32),
         interpret=interpret,
-    )(slab, fields, S, tf_tab)
+    )(slab, fields, S, tf_tab, *subs)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -640,7 +774,7 @@ def slice_march(o_obj, d_obj, active, color_in, w_in,
                 *, axis: int, flip: bool, step: float, base_step: float,
                 low, high, origin, spacing: tuple,
                 interpret: bool = False, slab_bytes: int = SLAB_BYTES,
-                isovalues: tuple = ()):
+                isovalues: tuple = (), subgrids=()):
     """March N rays through the whole brick.
 
     o_obj, d_obj: (N, 3) object-space rays, d unit (march_round's frame);
@@ -701,10 +835,23 @@ def slice_march(o_obj, d_obj, active, color_in, w_in,
         iso_smem += [jnp.float32(spacing[w_lane]),
                      jnp.float32(spacing[w_sub]),
                      jnp.float32(spacing[axis])]
+    sub_vols = []
+    if subgrids:
+        if nz > slab_rows:
+            raise ValueError(
+                "AMR subgrids on the slice engine require a "
+                "VMEM-resident brick; callers gate slab-streamed bricks "
+                "to the gather march")
+        for sub in subgrids:
+            Ss, ab, bb = _sub_affine(sub, origin_t, spacing_t, axis,
+                                     flip, nz, w_sub, w_lane)
+            sub_vols.append(Ss)
+            iso_smem += [jnp.asarray(v, jnp.float32)
+                         for v in (ab + bb)]
     if nz <= slab_rows:
         slab = jnp.stack([jnp.float32(0.0), jnp.float32(nz - 1),
                           lowf, highf] + iso_smem)
-        out = run(fields, S=S, slab=slab, nz=nz)
+        out = run(fields, S=S, slab=slab, nz=nz, subs=tuple(sub_vols))
     else:
         # stack overlapping z-windows: slab s covers absolute rows
         # [s*(slab_rows-1), s*(slab_rows-1) + slab_rows - 1]; the shared

@@ -107,6 +107,8 @@ def march_round(scene: VolumeSceneData, arena: RayArena,
             spacing = scene.vol_meta[v][1]     # static (sizes the ladder)
             isovals = (tuple(float(x) for x in scene.vol_isovalues[v])
                        if v < len(scene.vol_isovalues) else ())
+            subs = (scene.vol_subgrids[v]
+                    if v < len(scene.vol_subgrids) else ())
             # origin and TF range ride TRACED (per-device bricks differ
             # under the sharded domain scheduler; one SPMD trace)
             c2, w2, flags = slice_march(
@@ -118,7 +120,8 @@ def march_round(scene: VolumeSceneData, arena: RayArena,
                 base_step=float(min(spacing)),
                 low=scene.vol_vrange[v][0], high=scene.vol_vrange[v][1],
                 origin=scene.vol_origin[v], spacing=tuple(spacing),
-                interpret=slice_interpret, isovalues=isovals)
+                interpret=slice_interpret, isovalues=isovals,
+                subgrids=subs)
         else:
             c2, w2, flags = march_brick(
                 o_obj, d_obj, mask, color, w,
@@ -231,10 +234,11 @@ def can_slice_march(scene: VolumeSceneData, directions) -> tuple:
     """
     if scene.num_volumes != 1 or scene.num_instances != 1:
         return False, 0, False
-    if scene.vol_subgrids and scene.vol_subgrids[0]:
+    if scene.vol_subgrids and scene.vol_subgrids[0] \
+            and not _features_on_slice_ok(scene, 0):
         return False, 0, False
     if scene.vol_isovalues and scene.vol_isovalues[0] \
-            and not _iso_on_slice_ok(scene, 0):
+            and not _features_on_slice_ok(scene, 0):
         return False, 0, False
     if scene.vol_slices and scene.vol_slices[0]:
         return False, 0, False
@@ -243,14 +247,21 @@ def can_slice_march(scene: VolumeSceneData, directions) -> tuple:
     return _slice_gate([scene.inst_minv[0]], directions)
 
 
-def _iso_on_slice_ok(scene: VolumeSceneData, v: int) -> bool:
-    """Isosurfaces run on the slice engine only for VMEM-resident bricks
-    (the kernel's gradient taps need the whole z-range in one dispatch;
-    slab-streamed bricks keep the gather march)."""
+def _features_on_slice_ok(scene: VolumeSceneData, v: int) -> bool:
+    """Isosurfaces and AMR subgrids run on the slice engine only for
+    VMEM-resident configurations: the main brick PLUS any subgrids must
+    fit the slab budget in one dispatch (the kernel's gradient taps and
+    sub overrides need the whole z-range resident); bigger bricks keep
+    the gather march."""
     from gravit_tpu.ops.slice_march import SLAB_BYTES
 
     nz, ny, nx = scene.vol_samples[v].shape[-3:]   # [-3:]: stacked scenes
-    return nz * ny * nx * 4 <= SLAB_BYTES
+    total = nz * ny * nx * 4
+    if v < len(scene.vol_subgrids):
+        for sub in scene.vol_subgrids[v]:
+            sz, sy, sx = sub[0].shape[-3:]
+            total += sz * sy * sx * 4
+    return total <= SLAB_BYTES
 
 
 def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
@@ -281,10 +292,10 @@ def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
     from gravit_tpu.ops import slice_march as sm
 
     assert scene.num_volumes == 1 and scene.num_instances == 1
-    assert not (scene.vol_subgrids and scene.vol_subgrids[0])
     assert not (scene.vol_slices and scene.vol_slices[0])
-    if scene.vol_isovalues and scene.vol_isovalues[0]:
-        assert _iso_on_slice_ok(scene, 0)   # slab-streamed iso -> march
+    if (scene.vol_isovalues and scene.vol_isovalues[0]) or \
+            (scene.vol_subgrids and scene.vol_subgrids[0]):
+        assert _features_on_slice_ok(scene, 0)  # oversize -> march
     if interpret is None:
         import os
         interpret = (os.environ.get("GRAVIT_PALLAS_INTERPRET", "0") == "1"
@@ -341,10 +352,11 @@ def _trace_volume_fast_jit(scene: VolumeSceneData, rays: RayArena,
     active = rays.active if rays.active.dtype == bool else rays.active > 0
     fn = sm.slice_march_reference if use_reference else functools.partial(
         sm.slice_march, interpret=interpret)
+    subs = scene.vol_subgrids[0] if scene.vol_subgrids else ()
     color, w, _flags = fn(
         o_obj, d_obj, active, rays.color, rays.w,
         scene.vol_samples[0], scene.vol_color_lut[0],
-        scene.vol_opacity_lut[0], **meta)
+        scene.vol_opacity_lut[0], subgrids=subs, **meta)
 
     # single brick: BOUNDARY rays have nowhere to requeue -> EXTERNAL ->
     # every primary deposits color*w (shuffle_volume's retirement rule)
@@ -387,9 +399,11 @@ def slice_axes_for(scene: VolumeSceneData, directions) -> tuple:
     for v in range(scene.num_volumes):
         iso_blocks = (v < len(scene.vol_isovalues)
                       and scene.vol_isovalues[v]
-                      and not _iso_on_slice_ok(scene, v))
-        feature = ((v < len(scene.vol_subgrids) and scene.vol_subgrids[v])
-                   or iso_blocks
+                      and not _features_on_slice_ok(scene, v))
+        amr_blocks = (v < len(scene.vol_subgrids)
+                      and scene.vol_subgrids[v]
+                      and not _features_on_slice_ok(scene, v))
+        feature = (amr_blocks or iso_blocks
                    or (v < len(scene.vol_slices) and scene.vol_slices[v]))
         if feature:
             out.append(None)

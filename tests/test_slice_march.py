@@ -138,7 +138,11 @@ def test_can_slice_march_gates():
     vol2.subgrids.append(sub)
     scene_amr = build_volume_scene([vol2],
                                    [(0, np.eye(4, dtype=np.float32))])
-    assert not csm(scene_amr, d_ok)[0]
+    # r5: VMEM-resident AMR rides the slice engine; oversize falls back
+    assert csm(scene_amr, d_ok)[0]
+    scene_amr_big = scene_amr.replace(
+        vol_samples=(jnp.zeros((160, 160, 160), jnp.float32),))
+    assert not csm(scene_amr_big, d_ok)[0]
 
 
 def test_fast_path_instance_transform():
@@ -217,14 +221,21 @@ def test_multibrick_slice_axes():
     err = np.abs(fb_s[:, :3] - fb_m[:, :3])
     assert err.mean() < 3e-3 and err.max() < 0.06, (err.mean(), err.max())
 
-    # an AMR volume in the scene gates to the march
+    # r5: a small AMR volume rides the slice engine too; the slice
+    # render must agree with the march at image tolerance
     amr = _bricked_wavelet(n)
     sub = wavelet_volume(8)
     sub.level = 1
     amr[0].subgrids.append(sub)
     scene_amr = build_volume_scene(amr, [(0, eye), (1, eye)])
     saxes_amr = slice_axes_for(scene_amr, rays.direction)
-    assert saxes_amr[0] is None and saxes_amr[1] is not None
+    assert saxes_amr[0] is not None and saxes_amr[1] is not None
+    fb_am = np.asarray(trace_volume(scene_amr, arena, w, h, max_rounds=8))
+    fb_as = np.asarray(trace_volume(scene_amr, arena, w, h, max_rounds=8,
+                                    slice_axes=saxes_amr,
+                                    slice_interpret=True))
+    err_a = np.abs(fb_as[:, :3] - fb_am[:, :3])
+    assert err_a.mean() < 8e-3, err_a.mean()
 
 
 def test_slice_under_volume_domain():
