@@ -154,6 +154,19 @@ def main():
             out["iso_rays_per_s_device"] = round(
                 viso["rays_per_s_device"])
 
+    # AMR-on-slice-engine row (r5: the last engine-speed gap — AMR rode
+    # the gather march at 0.56 M rays/s)
+    vamr = _run("--volume", "--amr", timeout=TIMEOUT_FALLBACK_S) \
+        if (alive or result) else None
+    if vamr:
+        out["amr_rays_per_s"] = round(vamr["rays_per_s"])
+        out["amr_ms_per_frame"] = round(vamr["ms_per_frame"], 1)
+        if "ms_per_frame_device" in vamr:
+            out["amr_ms_per_frame_device"] = round(
+                vamr["ms_per_frame_device"], 1)
+            out["amr_rays_per_s_device"] = round(
+                vamr["rays_per_s_device"])
+
     # depth-2 bunny row: Russian-roulette multi-bounce at megapass speed
     # (VERDICT r4 missing #2 — the reference's hot loop runs RR at full
     # engine speed; this row pins ours)

@@ -11,6 +11,7 @@ Modes (first matching flag wins):
   --simple        25-instance (2-mesh) looped accel frame (multi-instance row)
   --volume        wavelet-volume slice-march megapass (one kernel dispatch)
   --volume --iso  same brick with an isosurface on the slice engine
+  --volume --amr  same brick + a level-1 subgrid on the slice engine
   --volume-march  wavelet-volume gather march (the arena path)
 
 Each mode reports BOTH the e2e ms/frame (includes the ~27 ms axon tunnel
@@ -204,7 +205,7 @@ def main_surface():
     _timed(frame, WIDTH * HEIGHT, mode, scan=scan)
 
 
-def _wavelet_setup(iso: bool = False):
+def _wavelet_setup(iso: bool = False, amr: bool = False):
     from gravit_tpu.render.volume_scene import build_volume_scene
     from gravit_tpu.scene.camera import PerspectiveCamera
     from gravit_tpu.scene.volume import wavelet_volume
@@ -213,6 +214,12 @@ def _wavelet_setup(iso: bool = False):
     vol = wavelet_volume(n)
     if iso:
         vol.isovalues = [float(np.asarray(vol.samples).mean())]
+    if amr:
+        sub = wavelet_volume(32)
+        sub.level = 1
+        sub.origin = np.asarray([16.0, 16.0, 16.0], np.float32)
+        sub.spacing = np.asarray([0.5, 0.5, 0.5], np.float32)
+        vol.subgrids.append(sub)
     scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
     c = (n - 1) / 2.0
     cam = PerspectiveCamera(
@@ -232,7 +239,8 @@ def main_volume_fast():
                                                  trace_volume_fast)
 
     iso = "--iso" in sys.argv
-    scene, cam = _wavelet_setup(iso=iso)
+    amr = "--amr" in sys.argv
+    scene, cam = _wavelet_setup(iso=iso, amr=amr)
     rays0 = cam.generate_rays(volume=True)
     ok, axis, flip = can_slice_march(scene, rays0.direction)
     assert ok, "bench wavelet config must qualify for the slice march"
@@ -252,7 +260,9 @@ def main_volume_fast():
         _, fbs = jax.lax.scan(body, 0, ks)
         return jnp.sum(fbs, axis=0)
 
-    _timed(frame, WIDTH * HEIGHT, "volume-iso" if iso else "volume-slice",
+    mode = ("volume-amr" if amr else
+            "volume-iso" if iso else "volume-slice")
+    _timed(frame, WIDTH * HEIGHT, mode,
            scan=lambda k: scan_frames(jnp.arange(k)))
 
 
