@@ -537,22 +537,63 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
      has_vc1, embree_rows) = _unpack_shade_row(scene, row)
 
     # interpolated shading normal: a*u + b*v + c*(1-u-v) with (a,b,c) the
-    # normals of corners (1,2,0)  (EmbreeMeshAdapter.cpp:510-521)
-    u_, v_ = hit.u[:, None], hit.v[:, None]
-    n_interp = ns[:, 1] * u_ + ns[:, 2] * v_ + ns[:, 0] * (1.0 - u_ - v_)
-    n_shade = jnp.einsum("nij,nj->ni", normi, n_interp)
-    n_shade = n_shade / _safe_norm(n_shade, keepdims=True)
-
-    # flat normal: normalize(normi * -Ng) (cpp:506-508); embree-2 reports the
-    # unnormalized Ng = cross(e2, e1) (inward for CCW), so the reference's
-    # -Ng is cross(e1, e2) — the outward CCW normal
-    ng = jnp.cross(tri_e1, tri_e2)
-    n_flat = jnp.einsum("nij,nj->ni", normi, ng)
-    n_flat = n_flat / _safe_norm(n_flat, keepdims=True)
-
-    # backface flip uses the FLAT normal (cpp:531-533)
-    flip = jnp.sum(-arena.direction * n_flat, axis=-1) <= 0.0
-    normal = jnp.where(flip[:, None], -n_shade, n_shade)
+    # normals of corners (1,2,0)  (EmbreeMeshAdapter.cpp:510-521).
+    # Single-instance scenes use COLUMN form: reductions over a size-3
+    # minor axis (einsums, norms, dots) run at 3/128 lane utilization on
+    # the VPU, and writing them as (N,) sums cut the bunny megapass
+    # 16.1 -> 15.2 ms device. The SAME rewrite REGRESSED the
+    # multi-instance frame by ~12 ms (fusion-context sensitivity, like
+    # both r5 compaction attempts), so multi-instance scenes keep the
+    # einsum form — the static num_instances gate picks per scene. The
+    # forms differ by fma association only (CPU golden max byte err
+    # 0 -> 1 on the column form; hardware goldens unchanged).
+    col_form = scene.num_instances == 1
+    if col_form:
+        u1, v1 = hit.u, hit.v
+        w1 = 1.0 - u1 - v1
+        ni_c = [ns[:, 1, c] * u1 + ns[:, 2, c] * v1 + ns[:, 0, c] * w1
+                for c in range(3)]
+        nsh = [normi[:, i, 0] * ni_c[0] + normi[:, i, 1] * ni_c[1]
+               + normi[:, i, 2] * ni_c[2] for i in range(3)]
+        nsh_n = jnp.sqrt(jnp.maximum(
+            nsh[0] * nsh[0] + nsh[1] * nsh[1] + nsh[2] * nsh[2], 1e-30))
+        nsh = [c / nsh_n for c in nsh]
+        e1c = [tri_e1[:, c] for c in range(3)]
+        e2c = [tri_e2[:, c] for c in range(3)]
+        # -Ng = cross(e1, e2), the outward CCW normal (cpp:506-508)
+        ngc = [e1c[1] * e2c[2] - e1c[2] * e2c[1],
+               e1c[2] * e2c[0] - e1c[0] * e2c[2],
+               e1c[0] * e2c[1] - e1c[1] * e2c[0]]
+        nfl = [normi[:, i, 0] * ngc[0] + normi[:, i, 1] * ngc[1]
+               + normi[:, i, 2] * ngc[2] for i in range(3)]
+        nfl_n = jnp.sqrt(jnp.maximum(
+            nfl[0] * nfl[0] + nfl[1] * nfl[1] + nfl[2] * nfl[2], 1e-30))
+        nfl = [c / nfl_n for c in nfl]
+        # backface flip uses the FLAT normal (cpp:531-533)
+        dir_c = [arena.direction[:, c] for c in range(3)]
+        flip = ((-dir_c[0]) * nfl[0] + (-dir_c[1]) * nfl[1]
+                + (-dir_c[2]) * nfl[2]) <= 0.0
+        normal_c = [jnp.where(flip, -c, c) for c in nsh]
+        normal = jnp.stack(normal_c, axis=1)
+        u1v = u1
+        u_, v_ = u1[:, None], v1[:, None]
+    else:
+        u_, v_ = hit.u[:, None], hit.v[:, None]
+        n_interp = (ns[:, 1] * u_ + ns[:, 2] * v_
+                    + ns[:, 0] * (1.0 - u_ - v_))
+        n_shade = jnp.einsum("nij,nj->ni", normi, n_interp)
+        n_shade = n_shade / _safe_norm(n_shade, keepdims=True)
+        # flat normal: normalize(normi * -Ng) (cpp:506-508); embree-2
+        # reports the unnormalized Ng = cross(e2, e1) (inward for CCW),
+        # so the reference's -Ng is cross(e1, e2) — the outward CCW
+        # normal
+        ng = jnp.cross(tri_e1, tri_e2)
+        n_flat = jnp.einsum("nij,nj->ni", normi, ng)
+        n_flat = n_flat / _safe_norm(n_flat, keepdims=True)
+        # backface flip uses the FLAT normal (cpp:531-533)
+        flip = jnp.sum(-arena.direction * n_flat, axis=-1) <= 0.0
+        normal = jnp.where(flip[:, None], -n_shade, n_shade)
+        normal_c = [normal[:, c] for c in range(3)]
 
     # material: per-vertex color -> lambert(interp color); else per-face; else
     # mesh material (cpp:539-575). tri_kd already face-resolved.
@@ -600,17 +641,28 @@ def _process_surface_hits(scene: SceneData, arena: RayArena, fb: jax.Array,
         lpos = jnp.where(is_area, lpos_area, lpos_fixed)
 
         is_ambient = scene.lights_kind[li] == int(LightKind.AMBIENT)
-        dist = _safe_norm(lpos - hit_point)
-        fall = jnp.minimum(1.0, 1.0 / jnp.maximum(dist, 1e-30))
+        if col_form:
+            # column form (see the normals block)
+            dv = [lpos[:, c] - hit_point[:, c] for c in range(3)]
+            dist = jnp.sqrt(jnp.maximum(
+                dv[0] * dv[0] + dv[1] * dv[1] + dv[2] * dv[2], 1e-30))
+            fall = jnp.minimum(1.0, 1.0 / jnp.maximum(dist, 1e-30))
+            wi_c = [c / dist for c in dv]
+            ndotl = jnp.maximum(0.0, normal_c[0] * wi_c[0]
+                                + normal_c[1] * wi_c[1]
+                                + normal_c[2] * wi_c[2])
+            wi = jnp.stack(wi_c, axis=1)
+        else:
+            dist = _safe_norm(lpos - hit_point)
+            fall = jnp.minimum(1.0, 1.0 / jnp.maximum(dist, 1e-30))
+            wi = lpos - hit_point
+            wi = wi / _safe_norm(wi, keepdims=True)
+            ndotl = jnp.maximum(0.0, jnp.sum(normal * wi, axis=-1))
         li_contrib = jnp.where(
             is_ambient,
             jnp.broadcast_to(scene.lights_color[li], (n, 3)),
             scene.lights_color[li] * fall[:, None],
         )
-
-        wi = lpos - hit_point
-        wi = wi / _safe_norm(wi, keepdims=True)
-        ndotl = jnp.maximum(0.0, jnp.sum(normal * wi, axis=-1))
         valid = mask & (ndotl > 0.0) & jnp.any(li_contrib != 0.0, axis=-1)
         c = shade_full(mat_type, kd, ks, alpha, embree_params,
                        arena.direction, w_now, normal, wi,
