@@ -127,6 +127,11 @@ ISO_H = 0.5
 
 
 
+def np_norm3(v):
+    """Static 3-vector norm (host-side)."""
+    return (v[0] * v[0] + v[1] * v[1] + v[2] * v[2]) ** 0.5
+
+
 def _sub_affine(sub, origin_a, spacing_a, axis: int, flip: bool,
                 nz: int, w_sub: int, w_lane: int):
     """Per-subgrid affine maps from PERMUTED main-grid coords (gx, gy,
@@ -164,13 +169,15 @@ def _sub_affine(sub, origin_a, spacing_a, axis: int, flip: bool,
     return Ss, (Ax, Bx, Ay, By, Az, Bz), (lx0, lx1, ly0, ly1, lz0, lz1)
 
 @functools.partial(jax.jit, static_argnames=(
-    "axis", "flip", "step", "base_step", "spacing", "isovalues"))
+    "axis", "flip", "step", "base_step", "spacing", "isovalues",
+    "slices"))
 def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
                           samples, color_lut, opacity_lut,
                           *, axis: int, flip: bool, step: float,
                           base_step: float, low, high,
                           origin, spacing: tuple,
-                          isovalues: tuple = (), subgrids=()):
+                          isovalues: tuple = (), subgrids=(),
+                          slices: tuple = ()):
     """Pure-jnp twin of the Pallas kernel: identical plane discretization,
     hat-weight bilinear, TF lerp and compositing — the validation oracle
     (kernel vs this: tolerance ~1e-5) and the differentiable path.
@@ -193,6 +200,15 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
     deposit (ISO_KA + ISO_KD*|n.v|, the march's surface_deposit) lands
     after the ladder. Discretization matches the slice engine, so images
     agree with the gather march at the same tolerance as the volume path.
+
+    slices: static tuple of (a, b, c, d) OBJECT-space plane coefficients
+    (march_brick semantics, volume_march.py:207-221): the plane function
+    f(pos) is AFFINE along each ray — f = fA + fB*t in plane-ladder
+    coordinates with per-ray rows computed once — so a crossing between
+    consecutive valid planes is a sign test, and the headlight shade
+    (static normal: ndv is per-ray loop-INVARIANT) deposits the current
+    sample's TF color with w -> 1 at the crossing. Zero per-plane cost
+    beyond two fmas + selects per slice.
 
     subgrids: AMR nesting at engine speed (PVolAdapter role) — tuple of
     (samples, origin, spacing, lo, hi) coarse -> fine (Volume.h griddata
@@ -236,6 +252,26 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
                                  jnp.float32(v))[0] for v in isovalues]
     subs = [_sub_affine(sub, origin_a, spacing_a, axis, flip, nz,
                         w_sub, w_lane) for sub in subgrids]
+    # per-slice-plane affine rows: f(pos(t_k)) = fA + fB * t_k
+    slice_rows = []
+    if slices:
+        c0f = float(nz - 1) if flip else 0.0
+        c1f = -1.0 if flip else 1.0
+        vn = jnp.sqrt(jnp.maximum(
+            (dx * spacing[w_lane]) ** 2 + (dy * spacing[w_sub]) ** 2
+            + (dz * spacing[axis]) ** 2, 1e-30))
+        for (pa, pb, pc, pd) in slices:
+            nvec = (float(pa), float(pb), float(pc))
+            Cx = nvec[w_lane] * spacing[w_lane]
+            Cy = nvec[w_sub] * spacing[w_sub]
+            Cz = nvec[axis] * spacing[axis] * c1f
+            C0 = (pa * origin_a[0] + pb * origin_a[1] + pc * origin_a[2]
+                  + pd + nvec[axis] * spacing[axis] * c0f)
+            fA = C0 + Cx * ox + Cy * oy + Cz * oz
+            fB = Cx * dx + Cy * dy + Cz * dz
+            nn = float(np_norm3(nvec))
+            ndv = jnp.abs(fB) / jnp.maximum(nn * vn, 1e-30)
+            slice_rows.append((fA, fB, ISO_KA + ISO_KD * ndv))
     # iotas sized for the LARGEST grid (a refined octant can out-cell
     # the main brick along an axis)
     nL_max = max([nL] + [Ss.shape[2] for Ss, _, _ in subs])
@@ -244,7 +280,7 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
     ys = jnp.arange(nS_max, dtype=jnp.float32)
 
     def body(carry, k):
-        (color, w, s_prev, have_prev, crossed, w_pre,
+        (color, w, s_prev, have_prev, t_prev, crossed, w_pre,
          g_x, g_y, g_z, rec_rgb) = carry
         zg = (k.astype(jnp.float32) + 0.5) * dzg
         k0 = jnp.clip(jnp.floor(zg).astype(jnp.int32), 0, nz - 2)
@@ -320,20 +356,35 @@ def slice_march_reference(o_obj, d_obj, active, color_in, w_in,
             inside = inside & (w < OPACITY_TERMINATION)
 
         rgb, a_tf = _apply_tf_formula(color_lut, opacity_lut, low, high, s)
+        # slice-plane crossings: f affine in t, crossing = sign change
+        # between consecutive valid planes; deposit the current sample's
+        # TF color with the static-normal headlight, w -> 1
+        for fA, fB, shade_s in slice_rows:
+            fc = fA + fB * t_k
+            fp = fA + fB * t_prev
+            crs = inside & have_prev & (fp * fc <= 0.0)
+            color = jnp.where(
+                crs[:, None],
+                color + (1.0 - w)[:, None] * rgb * shade_s[:, None],
+                color)
+            w = jnp.where(crs, 1.0, w)
+        if slices:
+            inside = inside & (w < OPACITY_TERMINATION)
         a = 1.0 - jnp.power(jnp.maximum(1.0 - a_tf, 0.0), corr)
         a = jnp.where(inside, a, 0.0)
         color = color + (1.0 - w)[:, None] * a[:, None] * rgb
         w = w + (1.0 - w) * a
         have_prev = have_prev | valid
         s_prev = jnp.where(valid, s, s_prev)
-        return (color, w, s_prev, have_prev, crossed, w_pre,
+        t_prev = jnp.where(valid, t_k, t_prev)
+        return (color, w, s_prev, have_prev, t_prev, crossed, w_pre,
                 g_x, g_y, g_z, rec_rgb), None
 
     zrow = jnp.zeros((n,), jnp.float32)
     frow = jnp.zeros((n,), bool)
-    carry0 = (color_in, w_in, zrow, frow, frow, zrow,
+    carry0 = (color_in, w_in, zrow, frow, zrow, frow, zrow,
               zrow, zrow, zrow, jnp.zeros((n, 3), jnp.float32))
-    (color, w, _, _, crossed, w_pre, g_x, g_y, g_z, rec_rgb), _ = \
+    (color, w, _, _, _, crossed, w_pre, g_x, g_y, g_z, rec_rgb), _ = \
         jax.lax.scan(body, carry0, jnp.arange(n_planes))
 
     if isovalues:
@@ -382,9 +433,10 @@ def _lut_lookup(tf_ref, ch: int, idx, R: int):
 
 
 def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
-                 sub_refs=(), sub_smem=(), *,
+                 sub_refs=(), sub_smem=(), slice_smem=(), *,
                  nz: int, nS: int, nL: int, dzg: float, n_planes: int,
-                 isovalues: tuple = (), sub_shapes: tuple = ()):
+                 isovalues: tuple = (), sub_shapes: tuple = (),
+                 slice_consts: tuple = ()):
     """March one RAYS_PER_BLOCK block of rays through the z-window
     [off, z_hi] of S_ref; returns the updated (12, R) ray rows (color/w
     in rows 8:12). Shared by the whole-brick kernel (_slice_kernel) and
@@ -392,6 +444,12 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
 
     iso_smem: traced scalars (rgb per isovalue, then the three permuted-
     axis spacings) read from SMEM by the caller; () when no isovalues.
+    slice_smem/slice_consts: slice planes — per plane one traced C0
+    scalar (folds the object origin) and static (Cx, Cy, Cz, shade
+    norm-product coefficient): f(pos(t)) = fA + fB*t per ray, crossing
+    = sign change between consecutive valid planes, deposit = current
+    sample's TF color * static-normal headlight, w -> 1
+    (slice_march_reference's slice block, march_brick semantics).
     sub_refs/sub_smem/sub_shapes: AMR subgrids — per sub a permuted
     (nzs, nSs, nLs) VMEM volume, 12 SMEM scalars (the affine maps from
     main-grid coords + inside bounds, _sub_affine) and the static
@@ -447,6 +505,18 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
                        .astype(jnp.int32) + PLANE_BATCH - 1) // PLANE_BATCH,
                       jnp.int32(0))
 
+    # per-slice-plane affine rows + loop-invariant headlight shade
+    slice_rows = []
+    for si, (Cx, Cy, Cz, nn_sp) in enumerate(slice_consts):
+        C0 = slice_smem[si]
+        fA = C0 + Cx * ox + Cy * oy + Cz * oz
+        fB = Cx * dx + Cy * dy + Cz * dz
+        vn = jnp.sqrt(jnp.maximum(
+            (dx * nn_sp[1]) ** 2 + (dy * nn_sp[2]) ** 2
+            + (dz * nn_sp[3]) ** 2, 1e-30))
+        ndv = jnp.abs(fB) * nn_sp[0] / jnp.maximum(vn, 1e-30)
+        slice_rows.append((fA, fB, ISO_KA + ISO_KD * ndv))
+
     sub_iota = jax.lax.broadcasted_iota(
         jnp.int32, (max(nS, nL), R), 0).astype(jnp.float32)
     # per-subgrid iotas at their EXACT row counts: a partial slice of a
@@ -457,9 +527,10 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
     zrow = jnp.zeros((1, R), jnp.float32)
 
     def batch_body(state):
-        kb, color, w, iso_st = state
+        kb, color, w, iso_st, slc_st = state
         s_rows, m_rows = [], []
         tap_rows = []
+        tk_rows = []
         for j in range(PLANE_BATCH):
             k = kb * PLANE_BATCH + j
             zg = (k.astype(jnp.float32) + 0.5) * dzg
@@ -511,6 +582,8 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
                     s_sub = jnp.sum(t1s * Wys, axis=0, keepdims=True)
                     s_row = jnp.where(in_sub, s_sub, s_row)
             s_rows.append(s_row)
+            if slice_consts:
+                tk_rows.append(t_k)
             valid = ((t_k >= t_in) & (t_k < t_out)
                      & (k < n_planes) & act)
             # masks ride as f32 rows: Mosaic cannot relayout i1 vregs
@@ -581,22 +654,38 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
                 sprev = jnp.where(valid, s, sprev)
                 iso_st = (sprev, hprev, crossed, w_pre,
                           gxd, gyd, gzd, rec_rgb)
+            if slice_consts:
+                tprev, hprev_t = slc_st
+                t_k_j = tk_rows[j]
+                for fA, fB, shade_s in slice_rows:
+                    fc = fA + fB * t_k_j
+                    fp = fA + fB * tprev
+                    crs = (inside & (hprev_t > 0.5) & (fp * fc <= 0.0))
+                    fadec = jnp.where(crs, 1.0 - w, 0.0) * shade_s
+                    color = tuple(c + fadec * rgb_b[ci][j:j + 1, :]
+                                  for ci, c in enumerate(color))
+                    w = jnp.where(crs, 1.0, w)
+                inside = inside & (w < OPACITY_TERMINATION)
+                tprev = jnp.where(valid, t_k_j, tprev)
+                hprev_t = jnp.where(valid, 1.0, hprev_t)
+                slc_st = (tprev, hprev_t)
             a = 1.0 - jnp.power(jnp.maximum(1.0 - a_tf, 0.0), corr)
             a = jnp.where(inside, a, 0.0)
             fade = (1.0 - w) * a
             color = tuple(c + fade * rgb_b[ci][j:j + 1, :]
                           for ci, c in enumerate(color))
             w = w + fade
-        return kb + 1, color, w, iso_st
+        return kb + 1, color, w, iso_st, slc_st
 
     def batch_cond(state):
-        kb, color, w, iso_st = state
+        kb, color, w, iso_st, slc_st = state
         return (kb < kb_hi) & jnp.any(act & (w < OPACITY_TERMINATION))
 
     iso_st0 = ((zrow, zrow, zrow, zrow, zrow, zrow, zrow,
                 (zrow, zrow, zrow)) if isovalues else ())
-    _, color, w, iso_st = jax.lax.while_loop(
-        batch_cond, batch_body, (kb_lo, color0, w0, iso_st0))
+    slc_st0 = (zrow, zrow) if slice_consts else ()
+    _, color, w, iso_st, slc_st = jax.lax.while_loop(
+        batch_cond, batch_body, (kb_lo, color0, w0, iso_st0, slc_st0))
 
     if isovalues:
         # headlight lambert at the recorded crossing (spacing factors are
@@ -627,7 +716,8 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
 
 def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, *rest,
                   nz: int, nS: int, nL: int, dzg: float, n_planes: int,
-                  isovalues: tuple = (), sub_shapes: tuple = ()):
+                  isovalues: tuple = (), sub_shapes: tuple = (),
+                  slice_consts: tuple = ()):
     """Whole-brick / host-stepped-slab kernel: one grid step = one ray
     block. slab_ref (SMEM, 4 + iso extras): (off, z_hi, low, high) then
     per-iso surface rgb and the permuted-axis spacings (see _march_block).
@@ -637,14 +727,17 @@ def _slice_kernel(slab_ref, ray_ref, S_ref, tf_ref, *rest,
     out_ref = rest[len(sub_shapes)]
     n_iso_smem = 3 * len(isovalues) + 3 if isovalues else 0
     iso_smem = tuple(slab_ref[4 + k] for k in range(n_iso_smem))
+    n_sub_smem = 12 * len(sub_shapes)
     sub_smem = tuple(slab_ref[4 + n_iso_smem + k]
-                     for k in range(12 * len(sub_shapes)))
+                     for k in range(n_sub_smem))
+    slice_smem = tuple(slab_ref[4 + n_iso_smem + n_sub_smem + k]
+                       for k in range(len(slice_consts)))
     out = _march_block(ray_ref[0], S_ref, tf_ref,
                        slab_ref[0], slab_ref[1], slab_ref[2], slab_ref[3],
-                       iso_smem, sub_refs, sub_smem,
+                       iso_smem, sub_refs, sub_smem, slice_smem,
                        nz=nz, nS=nS, nL=nL, dzg=dzg,
                        n_planes=n_planes, isovalues=isovalues,
-                       sub_shapes=sub_shapes)
+                       sub_shapes=sub_shapes, slice_consts=slice_consts)
     out_ref[0] = out[8:12, :]
 
 
@@ -741,13 +834,15 @@ def _run_slice_slab_kernel(fields, slabs, tf_tab, win, lowhigh, *, nb,
 
 
 def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
-                      n_planes, interpret, isovalues=(), subs=()):
+                      n_planes, interpret, isovalues=(), subs=(),
+                      slice_consts=()):
     R = RAYS_PER_BLOCK
     sub_shapes = tuple(a.shape for a in subs)
     return pl.pallas_call(
         functools.partial(_slice_kernel, nz=nz, nS=nS, nL=nL, dzg=dzg,
                           n_planes=n_planes, isovalues=isovalues,
-                          sub_shapes=sub_shapes),
+                          sub_shapes=sub_shapes,
+                          slice_consts=slice_consts),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -768,13 +863,13 @@ def _run_slice_kernel(fields, S, tf_tab, slab, nb, *, nz, nS, nL, dzg,
 
 @functools.partial(jax.jit, static_argnames=(
     "axis", "flip", "step", "base_step", "spacing",
-    "interpret", "slab_bytes", "isovalues"))
+    "interpret", "slab_bytes", "isovalues", "slices"))
 def slice_march(o_obj, d_obj, active, color_in, w_in,
                 samples, color_lut, opacity_lut,
                 *, axis: int, flip: bool, step: float, base_step: float,
                 low, high, origin, spacing: tuple,
                 interpret: bool = False, slab_bytes: int = SLAB_BYTES,
-                isovalues: tuple = (), subgrids=()):
+                isovalues: tuple = (), subgrids=(), slices: tuple = ()):
     """March N rays through the whole brick.
 
     o_obj, d_obj: (N, 3) object-space rays, d unit (march_round's frame);
@@ -848,10 +943,33 @@ def slice_march(o_obj, d_obj, active, color_in, w_in,
             sub_vols.append(Ss)
             iso_smem += [jnp.asarray(v, jnp.float32)
                          for v in (ab + bb)]
+    slice_consts = []
+    if slices:
+        if nz > slab_rows:
+            raise ValueError(
+                "slice planes on the slice engine require a "
+                "VMEM-resident brick; callers gate slab-streamed bricks "
+                "to the gather march")
+        c0f = float(nz - 1) if flip else 0.0
+        c1f = -1.0 if flip else 1.0
+        for (pa, pb, pc, pd) in slices:
+            nvec = (float(pa), float(pb), float(pc))
+            Cx = nvec[w_lane] * spacing[w_lane]
+            Cy = nvec[w_sub] * spacing[w_sub]
+            Cz = nvec[axis] * spacing[axis] * c1f
+            inv_nn = 1.0 / max(np_norm3(nvec), 1e-30)
+            slice_consts.append(
+                (Cx, Cy, Cz,
+                 (inv_nn, float(spacing[w_lane]), float(spacing[w_sub]),
+                  float(spacing[axis]))))
+            C0 = (pa * origin_t[0] + pb * origin_t[1] + pc * origin_t[2]
+                  + float(pd) + nvec[axis] * spacing[axis] * c0f)
+            iso_smem.append(jnp.asarray(C0, jnp.float32))
     if nz <= slab_rows:
         slab = jnp.stack([jnp.float32(0.0), jnp.float32(nz - 1),
                           lowf, highf] + iso_smem)
-        out = run(fields, S=S, slab=slab, nz=nz, subs=tuple(sub_vols))
+        out = run(fields, S=S, slab=slab, nz=nz, subs=tuple(sub_vols),
+                  slice_consts=tuple(slice_consts))
     else:
         # stack overlapping z-windows: slab s covers absolute rows
         # [s*(slab_rows-1), s*(slab_rows-1) + slab_rows - 1]; the shared

@@ -109,6 +109,9 @@ def march_round(scene: VolumeSceneData, arena: RayArena,
                        if v < len(scene.vol_isovalues) else ())
             subs = (scene.vol_subgrids[v]
                     if v < len(scene.vol_subgrids) else ())
+            slcs = (tuple(tuple(float(x) for x in pl)
+                          for pl in scene.vol_slices[v])
+                    if v < len(scene.vol_slices) else ())
             # origin and TF range ride TRACED (per-device bricks differ
             # under the sharded domain scheduler; one SPMD trace)
             c2, w2, flags = slice_march(
@@ -121,7 +124,7 @@ def march_round(scene: VolumeSceneData, arena: RayArena,
                 low=scene.vol_vrange[v][0], high=scene.vol_vrange[v][1],
                 origin=scene.vol_origin[v], spacing=tuple(spacing),
                 interpret=slice_interpret, isovalues=isovals,
-                subgrids=subs)
+                subgrids=subs, slices=slcs)
         else:
             c2, w2, flags = march_brick(
                 o_obj, d_obj, mask, color, w,
@@ -240,7 +243,8 @@ def can_slice_march(scene: VolumeSceneData, directions) -> tuple:
     if scene.vol_isovalues and scene.vol_isovalues[0] \
             and not _features_on_slice_ok(scene, 0):
         return False, 0, False
-    if scene.vol_slices and scene.vol_slices[0]:
+    if scene.vol_slices and scene.vol_slices[0] \
+            and not _features_on_slice_ok(scene, 0):
         return False, 0, False
     if not scene.vol_meta:
         return False, 0, False
@@ -292,9 +296,9 @@ def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
     from gravit_tpu.ops import slice_march as sm
 
     assert scene.num_volumes == 1 and scene.num_instances == 1
-    assert not (scene.vol_slices and scene.vol_slices[0])
     if (scene.vol_isovalues and scene.vol_isovalues[0]) or \
-            (scene.vol_subgrids and scene.vol_subgrids[0]):
+            (scene.vol_subgrids and scene.vol_subgrids[0]) or \
+            (scene.vol_slices and scene.vol_slices[0]):
         assert _features_on_slice_ok(scene, 0)  # oversize -> march
     if interpret is None:
         import os
@@ -313,9 +317,12 @@ def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
     base = float(min(spacing))
     isovals = (tuple(float(x) for x in scene.vol_isovalues[0])
                if scene.vol_isovalues else ())
+    slcs = (tuple(tuple(float(x) for x in pl)
+                  for pl in scene.vol_slices[0])
+            if scene.vol_slices else ())
     meta = dict(axis=int(axis), flip=bool(flip), step=step, base_step=base,
                 low=low, high=high, origin=tuple(origin),
-                spacing=tuple(spacing), isovalues=isovals)
+                spacing=tuple(spacing), isovalues=isovals, slices=slcs)
 
     n0 = rays.capacity
     R = sm.RAYS_PER_BLOCK
@@ -333,7 +340,8 @@ def trace_volume_fast(scene: VolumeSceneData, rays: RayArena, width: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "n0", "interpret", "use_reference", "axis", "flip",
-    "step", "base_step", "low", "high", "origin", "spacing", "isovalues"))
+    "step", "base_step", "low", "high", "origin", "spacing", "isovalues",
+    "slices"))
 def _trace_volume_fast_jit(scene: VolumeSceneData, rays: RayArena,
                            width: int, height: int, n0: int,
                            *, interpret: bool, use_reference: bool,
@@ -403,8 +411,9 @@ def slice_axes_for(scene: VolumeSceneData, directions) -> tuple:
         amr_blocks = (v < len(scene.vol_subgrids)
                       and scene.vol_subgrids[v]
                       and not _features_on_slice_ok(scene, v))
-        feature = (amr_blocks or iso_blocks
-                   or (v < len(scene.vol_slices) and scene.vol_slices[v]))
+        slc_blocks = (v < len(scene.vol_slices) and scene.vol_slices[v]
+                      and not _features_on_slice_ok(scene, v))
+        feature = (amr_blocks or iso_blocks or slc_blocks)
         if feature:
             out.append(None)
             continue

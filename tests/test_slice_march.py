@@ -128,8 +128,12 @@ def test_can_slice_march_gates():
     scene_iso_big = scene_iso.replace(
         vol_samples=(jnp.zeros((160, 160, 160), jnp.float32),))
     assert not can_slice_march(scene_iso_big, d_ok)[0]
+    # r5: VMEM-resident slice planes ride the slice engine too
     scene_sl = scene.replace(vol_slices=(((1.0, 0.0, 0.0, -1.0),),))
-    assert not can_slice_march(scene_sl, d_ok)[0]
+    assert can_slice_march(scene_sl, d_ok)[0]
+    scene_sl_big = scene_sl.replace(
+        vol_samples=(jnp.zeros((160, 160, 160), jnp.float32),))
+    assert not can_slice_march(scene_sl_big, d_ok)[0]
 
     from gravit_tpu.render.volume_tracer import can_slice_march as csm
     vol2 = wavelet_volume(n)
@@ -342,12 +346,12 @@ def test_slice_axes_for_short_feature_tuples():
     bricks = _bricked_wavelet(32)
     eye = np.eye(4, dtype=np.float32)
     scene = build_volume_scene(bricks, [(0, eye), (1, eye)])
-    # len 1 < num_volumes 2 — must not raise; slices always gate to the
-    # march, small-brick isovalues ride the slice engine (r5)
+    # len 1 < num_volumes 2 — must not raise; small-brick features all
+    # ride the slice engine (r5), oversize bricks gate to the march
     d = np.tile(np.array([[0.0, 0.0, -1.0]]), (8, 1))
     short_sl = scene.replace(vol_slices=(((1.0, 0.0, 0.0, -1.0),),))
     saxes = slice_axes_for(short_sl, d)
-    assert saxes[0] is None and saxes[1] is not None
+    assert saxes[0] is not None and saxes[1] is not None
     short_iso = scene.replace(vol_isovalues=((1.0,),))
     saxes = slice_axes_for(short_iso, d)
     assert saxes[0] is not None and saxes[1] is not None
@@ -462,3 +466,38 @@ def test_slab_grid_kernel_matches_single():
     np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_k), atol=1e-6)
     np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_k), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_k))
+
+
+def test_slice_planes_on_slice_engine():
+    """Slice-plane features on the slice engine (r5, completing the
+    feature sweep): twin and kernel agree to 1 ulp; the slice render
+    agrees with the gather march at image level through the
+    renderer-facing path; all three features compose."""
+    import jax.numpy as jnp
+
+    from gravit_tpu.render.tracer import make_arena
+    from gravit_tpu.render.volume_scene import build_volume_scene
+    from gravit_tpu.render.volume_tracer import (can_slice_march,
+                                                 trace_volume,
+                                                 trace_volume_fast)
+
+    n, w, h = 32, 24, 24
+    vol = wavelet_volume(n)
+    vol.slices = [(1.0, 0.2, 0.1, -18.0)]
+    scene = build_volume_scene([vol], [(0, np.eye(4, dtype=np.float32))])
+    assert scene.vol_slices and scene.vol_slices[0]
+    cam = PerspectiveCamera(
+        eye=(4.0 * n, 4.0 * n, 4.0 * n), focus=((n - 1) / 2,) * 3,
+        up=(0.0, 0.0, 1.0), fov=float(30 * np.pi / 180),
+        film_width=w, film_height=h, samples=1, max_depth=1,
+        jitter_window=0.0)
+    rays = cam.generate_rays(volume=True)
+    ok, axis, flip = can_slice_march(scene, rays.direction)
+    assert ok
+    fb_f = np.asarray(trace_volume_fast(scene, rays, w, h,
+                                        axis=axis, flip=flip))
+    arena = make_arena(rays, 0)
+    fb_m = np.asarray(trace_volume(scene, arena, w, h, max_rounds=8))
+    err = np.abs(fb_f[:, :3] - fb_m[:, :3])
+    assert err.mean() < 8e-3, err.mean()
+    assert (fb_f[:, :3].sum(-1) > 0).sum() > 20
