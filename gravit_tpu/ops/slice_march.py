@@ -455,12 +455,11 @@ def _march_block(rr, S_ref, tf_ref, off, z_hi, low, high, iso_smem,
     main-grid coords + inside bounds, _sub_affine) and the static
     shape. Each plane's sample is overridden inside a subgrid by one
     more z-lerp + hat-matmul resample (finer grids last, zero gathers).
-
     isovalues (static): per plane, sign-change detection against the
     previous in-brick sample; the first crossing freezes the ray (w=1)
     and records gradient inputs (x/y: half-step hat-matmul taps on the
-    same plane; z: backward difference to the previous plane). The
-    headlight lambert deposit lands after the plane loop. Mirrors
+    same plane; z: backward difference to the previous plane), with the
+    headlight lambert deposit after the plane loop. All of it mirrors
     slice_march_reference exactly; masks ride as f32 rows (Mosaic
     i1-concat restriction).
     """
